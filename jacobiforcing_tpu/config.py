@@ -1,0 +1,123 @@
+"""Engine configuration and per-request sampling parameters.
+
+TPU-native re-design of the reference's `inference_engine/config.py:6-52` and
+`inference_engine/sampling_params.py:4-38`.  Differences from the reference:
+
+  * no GPU-memory-fraction autotuning — KV capacity is an explicit page budget
+    (`num_kv_pages`), sized for HBM by the engine at startup;
+  * static compile buckets (`batch_buckets`, `page_buckets`) replace CUDA-graph
+    capture lists (reference model_runner.py:1552-1658) — each bucket maps to
+    one cached XLA executable;
+  * `mesh_shape` declares the (data, model) device mesh used for sharding
+    instead of `tensor_parallel_size` + NCCL world size.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+@dataclass
+class Config:
+    """Engine-level configuration (reference: inference_engine/config.py:6-52)."""
+
+    model: str = ""
+    max_num_batched_tokens: int = 16384
+    max_num_seqs: int = 256
+    max_model_len: int = 8192
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    eos: int = -1
+    pad: int = -1
+    # Paged KV cache. The reference requires block_size % 256 == 0
+    # (config.py:52); on TPU smaller pages give better paging granularity while
+    # the Pallas kernel still reads full pages, so we default to 256 but allow
+    # any multiple of 16.
+    kvcache_page_size: int = 256
+    num_kv_pages: int = -1  # -1 = size from available HBM at startup
+    hbm_utilization: float = 0.9
+
+    # Jacobi decoding knobs (reference config.py:23-30, README.md:224).
+    jacobi_enabled: bool = True
+    jacobi_block_len: int = 64
+    jacobi_max_blocks: int = 2
+    jacobi_spawn_ratio: float = 0.8
+    jacobi_lookahead_start_ratio: float = 0.0
+    jacobi_n_gram_pool_size: int = 4
+    jacobi_max_iterations: int = 128
+
+    # Compile bucketing: each (batch bucket, seq bucket) pair is one cached XLA
+    # executable — the TPU analog of per-(B, L) CUDA graphs
+    # (reference model_runner.py:1596-1658).
+    batch_buckets: tuple = DEFAULT_BATCH_BUCKETS
+    prefill_token_buckets: tuple = (256, 512, 1024, 2048, 4096, 8192)
+    # Tokens committed per device-side Jacobi segment before control returns to
+    # the host scheduler (admission/retirement).  Larger = fewer host syncs.
+    jacobi_chunk_tokens: int = 256
+
+    enforce_eager: bool = False
+    seed: int = 0
+
+    # Resolved at engine init.
+    model_path: str = field(default="", repr=False)
+
+    def __post_init__(self):
+        assert self.kvcache_page_size % 16 == 0
+        if self.model:
+            self.model_path = resolve_checkpoint_dir(self.model)
+
+
+def resolve_checkpoint_dir(model_path: str) -> str:
+    """Auto-select the latest `checkpoint-*` subdir if present.
+
+    Mirrors the DeepSpeed-checkpoint auto-detection of the reference
+    (inference_engine/config.py:31-41).
+    """
+    if os.path.isdir(model_path):
+        ckpts = [
+            d
+            for d in os.listdir(model_path)
+            if d.startswith("checkpoint-") and os.path.isdir(os.path.join(model_path, d))
+        ]
+        if ckpts:
+            latest = max(ckpts, key=lambda x: int(x.split("-")[1]))
+            return os.path.join(model_path, latest)
+    return model_path
+
+
+@dataclass
+class SamplingParams:
+    """Per-request sampling parameters (reference: sampling_params.py:4-38)."""
+
+    temperature: float = 1.0
+    top_k: int = -1
+    top_p: float = 1.0
+    max_tokens: int = 64
+    ignore_eos: bool = False
+
+    # "autoregressive" | "jacobi" | "jacobi_multiblock_rejection_recycling"
+    decode_strategy: str = "autoregressive"
+
+    jacobi_block_len: int = 64
+    jacobi_max_blocks: int = 2
+    jacobi_spawn_ratio: float = 0.8
+    jacobi_lookahead_start_ratio: float = 0.0
+    jacobi_n_gram_pool_size: int = 4
+    jacobi_max_iterations: int = 128
+
+    # Emit training rollout records instead of plain generations
+    # (reference: jacobi_decoding_nongreedy_on_policy.py).
+    jacobi_on_policy: bool = False
+
+    def __post_init__(self):
+        assert self.temperature >= 0.0
+        if self.jacobi_on_policy:
+            assert self.temperature > 0.0, "on-policy rollouts require temperature > 0"
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature == 0.0

@@ -1,0 +1,380 @@
+"""Qwen2.5 / Qwen3 decoder in functional JAX with a paged KV cache.
+
+TPU-first re-design of the reference model stack
+(inference_engine/models/qwen3.py:14-215 + inference_engine/layers/*):
+
+  * pure functions over a parameter pytree — no Module state; `jit`/`pjit`
+    shard via NamedSharding on the param arrays themselves;
+  * per-layer weights are STACKED along a leading layer axis and the decoder
+    runs as one `lax.scan` — one compiled layer body instead of N unrolled
+    layers, which keeps Jacobi-loop compile times low;
+  * the KV cache is a flat paged array `[layers, num_pages*page, kv_heads, hd]`
+    indexed through per-sequence block tables; "trimming" KV (reference
+    block_manager.py:534-565 `trim_kv_only_fast`) is a pure length-counter
+    decrement — stale slots are masked in attention and overwritten later;
+  * ONE attention implementation serves prefill, AR decode (L=1) and Jacobi
+    blocks (L=n) so greedy argmax is bit-stable across paths — the property
+    the reference gets by reusing flash_attn_with_kvcache for both
+    (inference_engine/layers/attention.py:98-157).
+
+Supports both Qwen2-style checkpoints (qkv bias, no qk-norm) and Qwen3-style
+(no bias, per-head q/k RMSNorm) via `ModelConfig` flags — mirroring the
+reference's `qkv_bias` switch (qwen3.py:67-69, 131).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from jacobiforcing_tpu.ops.attention import paged_attention
+from jacobiforcing_tpu.ops.kv_cache import KVCache, write_kv
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static model hyper-parameters (hashable: usable as a jit static arg)."""
+
+    vocab_size: int = 151936
+    hidden_size: int = 3584
+    intermediate_size: int = 18944
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    head_dim: int = 128
+    rope_theta: float = 1_000_000.0
+    rms_norm_eps: float = 1e-6
+    max_position: int = 32768
+    qkv_bias: bool = True  # Qwen2-style; False => Qwen3-style qk-norm
+    qk_norm: bool = False
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @staticmethod
+    def tiny(vocab_size: int = 256, **kw) -> "ModelConfig":
+        """A CPU-testable toy config."""
+        defaults = dict(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=16,
+            max_position=1024,
+            qkv_bias=True,
+            qk_norm=False,
+            # fp64 on CPU test runs (x64 enabled in tests/conftest.py): makes
+            # greedy argmax immune to cross-shape reassociation noise on a
+            # random model whose top-2 logit gaps can be ~1e-3.
+            dtype=jnp.float64,
+        )
+        defaults.update(kw)
+        return ModelConfig(**defaults)
+
+    @staticmethod
+    def from_hf_config(hf: Dict[str, Any]) -> "ModelConfig":
+        """Build from an HF config.json dict (Qwen2/Qwen3 families)."""
+        mt = hf.get("model_type", "qwen2")
+        qkv_bias = hf.get("attention_bias", mt == "qwen2")
+        head_dim = hf.get("head_dim") or hf["hidden_size"] // hf["num_attention_heads"]
+        return ModelConfig(
+            vocab_size=hf["vocab_size"],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=hf["intermediate_size"],
+            num_layers=hf["num_hidden_layers"],
+            num_heads=hf["num_attention_heads"],
+            num_kv_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+            head_dim=head_dim,
+            rope_theta=hf.get("rope_theta", 1_000_000.0),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+            max_position=hf.get("max_position_embeddings", 32768),
+            qkv_bias=qkv_bias,
+            qk_norm=(not qkv_bias) or mt == "qwen3",
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: ModelConfig, key: jax.Array) -> Dict[str, Any]:
+    """Random-init a parameter pytree (layer-stacked). For tests/benchmarks."""
+    k = iter(jax.random.split(key, 16))
+    L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    qs, kvs, D = cfg.q_size, cfg.kv_size, cfg.head_dim
+    dt = cfg.dtype
+
+    def dense(key, shape, scale=None):
+        scale = scale or (1.0 / math.sqrt(shape[-2]))
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dt)
+
+    layers = {
+        "ln1": jnp.ones((L, H), dt),
+        "ln2": jnp.ones((L, H), dt),
+        "wq": dense(next(k), (L, H, qs)),
+        "wk": dense(next(k), (L, H, kvs)),
+        "wv": dense(next(k), (L, H, kvs)),
+        "wo": dense(next(k), (L, qs, H)),
+        "w_gate": dense(next(k), (L, H, I)),
+        "w_up": dense(next(k), (L, H, I)),
+        "w_down": dense(next(k), (L, I, H)),
+    }
+    if cfg.qkv_bias:
+        layers["bq"] = jnp.zeros((L, qs), dt)
+        layers["bk"] = jnp.zeros((L, kvs), dt)
+        layers["bv"] = jnp.zeros((L, kvs), dt)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, D), dt)
+        layers["k_norm"] = jnp.ones((L, D), dt)
+
+    params = {
+        "embed": dense(next(k), (cfg.vocab_size, H), scale=0.02),
+        "layers": layers,
+        "final_norm": jnp.ones((H,), dt),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(next(k), (H, cfg.vocab_size))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def acc_dtype(dtype) -> Any:
+    """Accumulation dtype: fp32, or fp64 when the model itself runs in fp64
+    (CPU tests use fp64 so cross-shape reassociation noise cannot flip argmax
+    near-ties of a tiny random model)."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm in fp32+ (reference: layers/layernorm.py:16-40)."""
+    xf = x.astype(acc_dtype(x.dtype))
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * lax.rsqrt(var + eps)
+    return (out * w.astype(xf.dtype)).astype(x.dtype)
+
+
+def rope_table(cfg: ModelConfig) -> Tuple[jax.Array, jax.Array]:
+    """Precompute RoPE cos/sin [max_position, head_dim//2] in fp32
+    (reference: layers/rotary_embedding.py:17-61)."""
+    half = cfg.head_dim // 2
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    t = jnp.arange(cfg.max_position, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # [P, half]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate-half RoPE. x: [..., T, n_heads, head_dim]; cos/sin: [..., T, half].
+
+    Matches HF Qwen (non-interleaved): x1 = x[..., :half], x2 = x[..., half:].
+    """
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    c = cos[..., :, None, :]
+    s = sin[..., :, None, :]
+    ad = acc_dtype(x.dtype)
+    xf1, xf2 = x1.astype(ad), x2.astype(ad)
+    o1 = xf1 * c - xf2 * s
+    o2 = xf2 * c + xf1 * s
+    return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    input_ids: jax.Array,  # [B, T] int32
+    positions: jax.Array,  # [B, T] int32 (absolute; padding rows may repeat)
+    kv_cache: KVCache,  # paged cache for all layers
+    block_tables: jax.Array,  # [B, max_pages] int32 page ids (-1 = unused)
+    cache_lens: jax.Array,  # [B] int32: #valid KV tokens INCLUDING this call's
+    rope: Tuple[jax.Array, jax.Array],
+    *,
+    write_mask: Optional[jax.Array] = None,  # [B, T] bool: write KV for token?
+) -> Tuple[jax.Array, KVCache]:
+    """One forward pass over T tokens per sequence against the paged cache.
+
+    Serves all three contexts of the reference attention layer
+    (inference_engine/layers/attention.py:94-157):
+      prefill        T = padded prompt len, positions 0..P-1
+      AR decode      T = 1, position S-1
+      Jacobi block   T = L, positions S-1..S+L-2
+
+    Returns (hidden [B, T, H], updated kv_cache). Logits are computed
+    separately (`logits_at`) so callers can gather positions first.
+    """
+    B, T = input_ids.shape
+    page = kv_cache.page_size
+
+    x = params["embed"].astype(cfg.dtype)[input_ids]  # [B, T, H]
+
+    cos_t, sin_t = rope
+    cos = cos_t[positions]  # [B, T, half] fp32
+    sin = sin_t[positions]
+
+    # Slot mapping: absolute position -> flat cache slot via block table.
+    page_idx = jnp.take_along_axis(
+        block_tables, jnp.clip(positions // page, 0, block_tables.shape[1] - 1), axis=1
+    )  # [B, T]
+    slots = page_idx * page + positions % page  # [B, T]
+    if write_mask is not None:
+        # Out-of-range slot => dropped by scatter (mode="drop").
+        slots = jnp.where(write_mask, slots, kv_cache.num_slots)
+    slots = jnp.where(page_idx < 0, kv_cache.num_slots, slots)
+
+    lp = params["layers"]
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+
+    def layer_body(carry, xs):
+        h = carry
+        w, k_cache_l, v_cache_l = xs
+        # h: [B, T, H]
+        hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
+        q = hn @ w["wq"]
+        kk = hn @ w["wk"]
+        vv = hn @ w["wv"]
+        if cfg.qkv_bias:
+            q = q + w["bq"]
+            kk = kk + w["bk"]
+            vv = vv + w["bv"]
+        q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+        kk = kk.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        vv = vv.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            q = rms_norm(q, w["q_norm"], cfg.rms_norm_eps)
+            kk = rms_norm(kk, w["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        kk = apply_rope(kk, cos, sin)
+
+        k_cache_l, v_cache_l = write_kv(k_cache_l, v_cache_l, kk, vv, slots)
+
+        o = paged_attention(
+            q,
+            k_cache_l,
+            v_cache_l,
+            block_tables,
+            cache_lens,
+            positions,
+            scale,
+            page_size=page,
+        )  # [B, T, NH, D]
+
+        o = o.reshape(B, T, cfg.q_size) @ w["wo"]
+        h = h + o
+        hn = rms_norm(h, w["ln2"], cfg.rms_norm_eps)
+        g = hn @ w["w_gate"]
+        u = hn @ w["w_up"]
+        mlp = (jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u) @ w["w_down"]
+        h = h + mlp
+        return h, (k_cache_l, v_cache_l)
+
+    h, (new_k, new_v) = lax.scan(layer_body, x, (lp, kv_cache.k, kv_cache.v))
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    return h, KVCache(k=new_k, v=new_v, page_size=page)
+
+
+def forward_dense(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    input_ids: jax.Array,  # [B, T]
+    positions: jax.Array,  # [B, T] (shared RoPE positions for k_j/last_j packing)
+    rope: Tuple[jax.Array, jax.Array],
+    attn_mask: Optional[jax.Array] = None,  # [B, T, T] bool, True = visible
+) -> jax.Array:
+    """Training-path forward: dense attention, no KV cache.
+
+    `attn_mask` carries the packed-trajectory block mask of the consistency
+    trainer (reference: soft_flexattn_cllm_trainer.py:220-286, FlexAttention
+    create_block_mask); None = plain causal.  Returns hidden [B, T, H].
+    """
+    B, T = input_ids.shape
+    x = params["embed"].astype(cfg.dtype)[input_ids]
+    cos_t, sin_t = rope
+    cos = cos_t[positions]
+    sin = sin_t[positions]
+    if attn_mask is None:
+        attn_mask = (
+            jnp.arange(T, dtype=jnp.int32)[None, :, None]
+            >= jnp.arange(T, dtype=jnp.int32)[None, None, :]
+        )  # [1, T, T] causal (broadcasts over B)
+    lp = params["layers"]
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    groups = cfg.num_heads // cfg.num_kv_heads
+
+    def layer_body(h, w):
+        hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
+        q = hn @ w["wq"]
+        kk = hn @ w["wk"]
+        vv = hn @ w["wv"]
+        if cfg.qkv_bias:
+            q, kk, vv = q + w["bq"], kk + w["bk"], vv + w["bv"]
+        q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+        kk = kk.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        vv = vv.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            q = rms_norm(q, w["q_norm"], cfg.rms_norm_eps)
+            kk = rms_norm(kk, w["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        kk = apply_rope(kk, cos, sin)
+
+        acc = acc_dtype(q.dtype)
+        qg = q.reshape(B, T, cfg.num_kv_heads, groups, cfg.head_dim)
+        scores = jnp.einsum("bthgd,bshd->bhgts", qg, kk, preferred_element_type=acc)
+        scores = scores * scale
+        mask = attn_mask[:, None, None, :, :]
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        o = jnp.einsum("bhgts,bshd->bthgd", probs, vv)
+        o = o.reshape(B, T, cfg.q_size) @ w["wo"]
+        h = h + o
+        hn = rms_norm(h, w["ln2"], cfg.rms_norm_eps)
+        g = hn @ w["w_gate"]
+        u = hn @ w["w_up"]
+        mlp = (jax.nn.silu(g.astype(acc)).astype(u.dtype) * u) @ w["w_down"]
+        return h + mlp, None
+
+    h, _ = lax.scan(layer_body, x, lp)
+    return rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+
+
+def logits_at(params: Dict[str, Any], cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
+    """LM head over a (already gathered) hidden slice; fp32 logits.
+
+    Reference: ParallelLMHead (inference_engine/layers/embed_head.py:56-66).
+    """
+    w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    if cfg.tie_word_embeddings:
+        w = w.T
+    return jnp.dot(
+        hidden, w.astype(cfg.dtype), preferred_element_type=acc_dtype(cfg.dtype)
+    )
+
+
+def greedy_tokens(params, cfg, hidden: jax.Array) -> jax.Array:
+    """argmax(lm_head(hidden)) without materializing fp32 logits twice."""
+    return jnp.argmax(logits_at(params, cfg, hidden), axis=-1).astype(jnp.int32)

@@ -1,0 +1,112 @@
+"""Paged causal attention — the single attention path for all decode contexts.
+
+Replaces the reference's three flash-attn call sites
+(inference_engine/layers/attention.py:104-157):
+
+  (a) varlen prefill (optionally with prefix-cache block tables),
+  (b) B x L Jacobi query blocks against paged KV with `cache_seqlens`
+      semantics (stale tail slots ignored WITHOUT zeroing),
+  (c) 1-token decode,
+
+with ONE function: queries [B, T, H, D] at absolute `positions` attend to the
+paged cache through `block_tables`, masked by `key_pos <= query_pos` and
+`key_pos < cache_lens`.  Using the same kernel for AR decode and Jacobi blocks
+makes greedy argmax bit-stable across the two paths — the exact-match
+correctness criterion of the reference test
+(inference_engine/tests/test_jacobi_decoding_greedy.py:313-360).
+
+Two implementations:
+  * `paged_attention_xla` — gather pages + masked softmax; correctness
+    reference, runs everywhere (CPU tests).
+  * `paged_attention_pallas` — Pallas TPU kernel (ops/pallas/), reads KV pages
+    from HBM with double-buffered DMA; used on TPU when enabled.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from jacobiforcing_tpu.ops.kv_cache import gather_pages
+
+_NEG_INF = -1e30
+
+
+def paged_attention_xla(
+    q: jax.Array,  # [B, T, NH, D]
+    k_cache_l: jax.Array,  # [num_slots, KH, D]
+    v_cache_l: jax.Array,
+    block_tables: jax.Array,  # [B, P]
+    cache_lens: jax.Array,  # [B] valid KV length (incl. this call's tokens)
+    positions: jax.Array,  # [B, T] absolute query positions
+    scale: float,
+    *,
+    page_size: int,
+) -> jax.Array:
+    B, T, NH, D = q.shape
+    KH = k_cache_l.shape[-2]
+    groups = NH // KH
+
+    k = gather_pages(k_cache_l, block_tables, page_size)  # [B, S, KH, D]
+    v = gather_pages(v_cache_l, block_tables, page_size)
+    S = k.shape[1]
+
+    # [B, KH, G, T, D] x [B, KH, S, D] -> [B, KH, G, T, S]
+    acc = jnp.promote_types(q.dtype, jnp.float32)
+    qg = q.reshape(B, T, KH, groups, D).transpose(0, 2, 3, 1, 4)
+    kt = k.transpose(0, 2, 1, 3)  # [B, KH, S, D]
+    scores = jnp.einsum(
+        "bhgtd,bhsd->bhgts", qg, kt, preferred_element_type=acc
+    ) * scale
+
+    key_pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # key j sits at position j
+    valid = key_pos < cache_lens[:, None]  # [B, S]
+    causal = key_pos[:, None, :] <= positions[:, :, None]  # [B, T, S]
+    mask = (valid[:, None, :] & causal)[:, None, None, :, :]  # [B,1,1,T,S]
+    scores = jnp.where(mask, scores, _NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    vt = v.transpose(0, 2, 1, 3)  # [B, KH, S, D]
+    out = jnp.einsum("bhgts,bhsd->bhgtd", probs, vt)
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, T, NH, D)
+
+
+def paged_attention(
+    q,
+    k_cache_l,
+    v_cache_l,
+    block_tables,
+    cache_lens,
+    positions,
+    scale,
+    *,
+    page_size: int,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Dispatch between the XLA reference path and the Pallas TPU kernel."""
+    impl = impl or os.environ.get("JF_ATTN_IMPL", "auto")
+    if impl == "xla":
+        return paged_attention_xla(
+            q, k_cache_l, v_cache_l, block_tables, cache_lens, positions, scale,
+            page_size=page_size,
+        )
+    if impl in ("auto", "pallas"):
+        try:
+            if impl == "pallas" or jax.default_backend() not in ("cpu",):
+                from jacobiforcing_tpu.ops.pallas.paged_attention import (
+                    paged_attention_pallas,
+                )
+
+                return paged_attention_pallas(
+                    q, k_cache_l, v_cache_l, block_tables, cache_lens, positions,
+                    scale, page_size=page_size,
+                )
+        except NotImplementedError:
+            pass
+    return paged_attention_xla(
+        q, k_cache_l, v_cache_l, block_tables, cache_lens, positions, scale,
+        page_size=page_size,
+    )
