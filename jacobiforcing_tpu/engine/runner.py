@@ -50,45 +50,48 @@ from jacobiforcing_tpu.ops.sampling import sample
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "draft_len"), donate_argnames=("kv",))
+@partial(jax.jit, static_argnames=("cfg", "n_out"), donate_argnames=("kv",))
 def prefill(
     params: Dict[str, Any],
     cfg: ModelConfig,
     rope,
-    input_ids: jax.Array,  # [B, T]: [prompt, bootstrap-draft, pad]
-    total_lens: jax.Array,  # [B] = prompt_len + draft_len
+    input_ids: jax.Array,  # [B, T]: [uncached prompt suffix, bootstrap-draft, pad]
+    start_pos: jax.Array,  # [B] absolute position of input_ids[:, 0]
+    total_lens: jax.Array,  # [B] absolute length incl. draft (= prompt+L or prompt)
+    prompt_lens: jax.Array,  # [B] absolute prompt length
     kv: KVCache,
     block_tables: jax.Array,  # [B, P]
     *,
-    draft_len: int = 0,
+    n_out: int = 1,
 ) -> Tuple[KVCache, jax.Array, jax.Array]:
-    """Forward padded prompts (plus an appended random draft) once.
+    """Forward padded prompt suffixes (plus an appended random draft) once.
 
     Re-designs the reference's `_jacobi_prefill_with_drafting`
     (model_runner.py:777-963): the random draft is forwarded with the prompt in
-    the same pass; greedy predictions at the last `draft_len` prompt-relative
-    positions become the bootstrap draft; the draft's KV needs no trim — the
+    the same pass; greedy predictions at the `n_out` positions starting at
+    prompt_len-1 become the bootstrap draft; the draft's KV needs no trim — the
     caller simply records cache length = prompt_len and the first Jacobi
-    iteration overwrites those slots.
+    iteration overwrites those slots.  `start_pos > 0` supports prefix-cache
+    hits (reference block_manager.py:135-168): only the uncached suffix is
+    forwarded against the shared cached pages.
 
-    Returns (kv, last_prompt_logits [B, V] fp32, prefill_draft [B, draft_len]).
+    Returns (kv, last_prompt_logits [B, V] fp32, prefill_draft [B, n_out]).
     `last_prompt_logits` is the prediction at the final prompt token (used for
     AR sampling); `prefill_draft[:, 0]` equals its argmax.
     """
     B, T = input_ids.shape
-    positions = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, axis=0)
+    positions = start_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     write_mask = positions < total_lens[:, None]
+    positions = jnp.minimum(positions, cfg.max_position - 1)
     h, kv = forward(
         params, cfg, input_ids, positions, kv, block_tables,
         cache_lens=total_lens, rope=rope, write_mask=write_mask,
     )
-    prompt_lens = total_lens - draft_len
-    n_out = max(draft_len, 1)
-    # Gather hidden at positions prompt_len-1 .. prompt_len+draft_len-2
-    # (each predicts the NEXT position: the true next token, then draft verifies).
-    gather_pos = prompt_lens[:, None] - 1 + jnp.arange(n_out, dtype=jnp.int32)[None, :]
-    gather_pos = jnp.clip(gather_pos, 0, T - 1)
-    h_sel = jnp.take_along_axis(h, gather_pos[:, :, None], axis=1)  # [B, n_out, H]
+    # Gather hidden at absolute positions prompt_len-1 .. prompt_len+n_out-2
+    # (each predicts the NEXT position: the true next token, then the draft).
+    gather_abs = prompt_lens[:, None] - 1 + jnp.arange(n_out, dtype=jnp.int32)[None, :]
+    gather_rel = jnp.clip(gather_abs - start_pos[:, None], 0, T - 1)
+    h_sel = jnp.take_along_axis(h, gather_rel[:, :, None], axis=1)  # [B, n_out, H]
     logits = logits_at(params, cfg, h_sel)  # [B, n_out, V] fp32
     draft = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, n_out]
     return kv, logits[:, 0, :], draft

@@ -50,8 +50,10 @@ def paged_attention_xla(
     KH = k_cache_l.shape[-2]
     groups = NH // KH
 
-    k = gather_pages(k_cache_l, block_tables, page_size)  # [B, S, KH, D]
-    v = gather_pages(v_cache_l, block_tables, page_size)
+    # Cast to the query dtype: keeps the scan carry dtype-stable even when the
+    # KV cache runs at a different precision (e.g. int8/fp8 KV later).
+    k = gather_pages(k_cache_l, block_tables, page_size).astype(q.dtype)  # [B, S, KH, D]
+    v = gather_pages(v_cache_l, block_tables, page_size).astype(q.dtype)
     S = k.shape[1]
 
     # [B, KH, G, T, D] x [B, KH, S, D] -> [B, KH, G, T, S]

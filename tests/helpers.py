@@ -45,9 +45,10 @@ def ar_generate_greedy(cfg, params, rope, kv, prompts, max_new, block_tables):
     """Oracle: batched greedy AR decoding (reference: ar_inference_baseline.py)."""
     B = len(prompts)
     ids, lens = pad_batch(prompts)
+    lens_j = jnp.asarray(lens)
     kv, last_logits, _ = runner.prefill(
-        params, cfg, rope, jnp.asarray(ids), jnp.asarray(lens), kv,
-        jnp.asarray(block_tables), draft_len=0,
+        params, cfg, rope, jnp.asarray(ids), jnp.zeros((B,), jnp.int32),
+        lens_j, lens_j, kv, jnp.asarray(block_tables), n_out=1,
     )
     next_tok = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
     out = [[int(next_tok[b])] for b in range(B)]
@@ -81,8 +82,8 @@ def jacobi_generate_greedy(
         ids[b, lens[b] : lens[b] + L] = rng.randint(0, cfg.vocab_size, L)
     total_lens = jnp.asarray(lens + L)
     kv, _, prefill_draft = runner.prefill(
-        params, cfg, rope, jnp.asarray(ids), total_lens, kv,
-        jnp.asarray(block_tables), draft_len=L,
+        params, cfg, rope, jnp.asarray(ids), jnp.zeros((B,), jnp.int32),
+        total_lens, jnp.asarray(lens), kv, jnp.asarray(block_tables), n_out=L,
     )
 
     cap_tokens = block_tables.shape[1] * PAGE + L + 1
