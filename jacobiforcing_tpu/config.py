@@ -33,6 +33,9 @@ class Config:
     data_parallel_size: int = 1
     eos: int = -1
     pad: int = -1
+    # Extra stop tokens for on-policy rollouts (reference on_policy.py defaults
+    # to Qwen's {151643 <|endoftext|>, 151645 <|im_end|>}).
+    stop_token_ids: tuple = ()
     # Paged KV cache. The reference requires block_size % 256 == 0
     # (config.py:52); on TPU smaller pages give better paging granularity while
     # the Pallas kernel still reads full pages, so we default to 256 but allow

@@ -105,7 +105,9 @@ class LLMEngine:
         return max(16, min(npages, 40_000))  # reference's 40k hard cap
 
     # ------------------------------------------------------------------
-    SUPPORTED_STRATEGIES = {"autoregressive", "jacobi"}
+    SUPPORTED_STRATEGIES = {
+        "autoregressive", "jacobi", "jacobi_nongreedy", "jacobi_on_policy",
+    }
 
     def add_request(self, token_ids: List[int], sampling_params: SamplingParams) -> Sequence:
         strat = sampling_params.decode_strategy
@@ -127,8 +129,10 @@ class LLMEngine:
         seqs, is_prefill = self.scheduler.schedule()
         if not seqs:
             return []
+        max_b = self.config.batch_buckets[-1]
         if is_prefill:
-            self._run_prefill(seqs)
+            for i in range(0, len(seqs), max_b):
+                self._run_prefill(seqs[i : i + max_b])
         else:
             self._run_decode(seqs)
         self.scheduler.postprocess(seqs)
@@ -207,16 +211,40 @@ class LLMEngine:
 
     # ------------------------------------------------------------------
     def _run_decode(self, seqs: List[Sequence]) -> None:
+        max_b = self.config.batch_buckets[-1]
         ar = [s for s in seqs if not s.sampling_params.decode_strategy.startswith("jacobi")]
         jac = [s for s in seqs if s.sampling_params.decode_strategy.startswith("jacobi")]
-        if ar:
-            self._ar_step(ar)
+        for i in range(0, len(ar), max_b):
+            self._ar_step(ar[i : i + max_b])
+        onpolicy = [s for s in jac if s.sampling_params.decode_strategy == "jacobi_on_policy"]
+        jac = [s for s in jac if s.sampling_params.decode_strategy != "jacobi_on_policy"]
+        op_groups: Dict[tuple, List[Sequence]] = {}
+        for s in onpolicy:
+            sp = s.sampling_params
+            k = (sp.jacobi_block_len, sp.top_k, 0.0 < sp.top_p < 1.0)
+            op_groups.setdefault(k, []).append(s)
+        for (L, top_k, use_top_p), group in op_groups.items():
+            for i in range(0, len(group), max_b):
+                self._onpolicy_block(group[i : i + max_b], L, top_k, use_top_p)
+
         groups: Dict[tuple, List[Sequence]] = {}
         for s in jac:
-            k = (s.sampling_params.jacobi_block_len, s.sampling_params.ignore_eos)
+            sp = s.sampling_params
+            nongreedy = sp.decode_strategy == "jacobi_nongreedy"
+            k = (
+                sp.jacobi_block_len,
+                sp.ignore_eos,
+                nongreedy,
+                sp.top_k if nongreedy else -1,
+                (0.0 < sp.top_p < 1.0) if nongreedy else False,
+            )
             groups.setdefault(k, []).append(s)
-        for (L, ignore_eos), group in groups.items():
-            self._jacobi_chunk(group, L, -1 if ignore_eos else self.config.eos)
+        for (L, ignore_eos, nongreedy, top_k, use_top_p), group in groups.items():
+            for i in range(0, len(group), max_b):
+                self._jacobi_chunk(
+                    group[i : i + max_b], L, -1 if ignore_eos else self.config.eos,
+                    nongreedy=nongreedy, top_k=top_k, use_top_p=use_top_p,
+                )
 
     def _ar_step(self, seqs: List[Sequence]) -> None:
         B = _bucket(len(seqs), self.config.batch_buckets)
@@ -242,7 +270,16 @@ class LLMEngine:
             self.stats["generated_tokens"] += 1
         self.stats["ar_steps"] += 1
 
-    def _jacobi_chunk(self, seqs: List[Sequence], L: int, eos_id: int) -> None:
+    def _jacobi_chunk(
+        self,
+        seqs: List[Sequence],
+        L: int,
+        eos_id: int,
+        *,
+        nongreedy: bool = False,
+        top_k: int = -1,
+        use_top_p: bool = False,
+    ) -> None:
         B = _bucket(len(seqs), self.config.batch_buckets)
         tokens = np.zeros((B, self.cap_tokens), np.int32)
         cur_len = np.ones((B,), np.int32)
@@ -251,6 +288,8 @@ class LLMEngine:
         capacity = np.zeros((B,), np.int32)
         max_new = np.zeros((B,), np.int32)
         draft = np.zeros((B, L), np.int32)
+        temps = np.ones((B,), np.float32)
+        top_ps = np.ones((B,), np.float32)
 
         for i, s in enumerate(seqs):
             n = len(s)
@@ -262,6 +301,8 @@ class LLMEngine:
                 self.block_manager.capacity_tokens(s), self.cap_tokens - 1
             )
             max_new[i] = max(0, s.max_tokens - s.num_completion_tokens)
+            temps[i] = s.sampling_params.temperature
+            top_ps[i] = s.sampling_params.top_p
             if s.draft is not None:
                 draft[i] = s.draft
                 draft[i, 0] = s.last_token
@@ -279,14 +320,26 @@ class LLMEngine:
                     )
 
         bt = self._pad_block_table(seqs, B)
-        res = runner.jacobi_chunk_greedy(
-            self.params, self.model_cfg, self.rope, self.kv,
-            jnp.asarray(tokens), jnp.asarray(cur_len), jnp.asarray(draft),
-            jnp.asarray(eos), jnp.asarray(iters), bt, jnp.asarray(capacity),
-            jnp.asarray(max_new), self._next_key(), eos_id,
-            chunk_budget=self.config.jacobi_chunk_tokens,
-            max_iters=self.config.jacobi_max_iterations,
-        )
+        if nongreedy:
+            res = runner.jacobi_chunk_nongreedy(
+                self.params, self.model_cfg, self.rope, self.kv,
+                jnp.asarray(tokens), jnp.asarray(cur_len), jnp.asarray(draft),
+                jnp.asarray(eos), jnp.asarray(iters), bt, jnp.asarray(capacity),
+                jnp.asarray(max_new), jnp.asarray(temps), jnp.asarray(top_ps),
+                self._next_key(), eos_id,
+                chunk_budget=self.config.jacobi_chunk_tokens,
+                max_iters=self.config.jacobi_max_iterations,
+                top_k=top_k, use_top_p=use_top_p,
+            )
+        else:
+            res = runner.jacobi_chunk_greedy(
+                self.params, self.model_cfg, self.rope, self.kv,
+                jnp.asarray(tokens), jnp.asarray(cur_len), jnp.asarray(draft),
+                jnp.asarray(eos), jnp.asarray(iters), bt, jnp.asarray(capacity),
+                jnp.asarray(max_new), self._next_key(), eos_id,
+                chunk_budget=self.config.jacobi_chunk_tokens,
+                max_iters=self.config.jacobi_max_iterations,
+            )
         self.kv = res["kv"]
         tokens_out = np.asarray(res["tokens"])
         cur_out = np.asarray(res["cur_len"])
@@ -303,6 +356,94 @@ class LLMEngine:
             self.stats["generated_tokens"] += int(gen[i])
         self.stats["jacobi_iterations"] += int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum())
         self.stats["chunk_calls"] += 1
+
+    # ------------------------------------------------------------------
+    def _onpolicy_block(
+        self, seqs: List[Sequence], L: int, top_k: int, use_top_p: bool
+    ) -> None:
+        """Run one on-policy rollout block per sequence; append records.
+
+        Reference record format: jacobi_decoding_nongreedy_on_policy.py:7-34
+        and generate_rollout_records_batch (:493-627)."""
+        B = _bucket(len(seqs), self.config.batch_buckets)
+        tokens = np.zeros((B, self.cap_tokens), np.int32)
+        cur_len = np.ones((B,), np.int32)
+        block_init = np.zeros((B, L), np.int32)
+        gen_len = np.zeros((B,), np.int32)
+        active = np.zeros((B,), bool)
+        capacity = np.zeros((B,), np.int32)
+        temps = np.ones((B,), np.float32)
+        top_ps = np.ones((B,), np.float32)
+        pad_id = max(self.config.pad, 0)
+
+        stops = [t for t in self.config.stop_token_ids]
+        if self.config.eos >= 0 and self.config.eos not in stops:
+            stops.append(self.config.eos)
+        if not stops:
+            stops = [-1]
+        stops_arr = np.full((max(4, len(stops)),), -1, np.int32)
+        stops_arr[: len(stops)] = stops
+
+        prefixes = []
+        for i, s in enumerate(seqs):
+            n = len(s)
+            tokens[i, :n] = s.token_ids
+            cur_len[i] = n
+            gl = min(L, max(0, s.max_tokens - s.num_completion_tokens))
+            gen_len[i] = gl
+            active[i] = gl > 0 and not s.op_stopped
+            capacity[i] = min(self.block_manager.capacity_tokens(s), self.cap_tokens - 1)
+            temps[i] = s.sampling_params.temperature
+            top_ps[i] = s.sampling_params.top_p
+            prefixes.append(list(s.token_ids))
+            # prompt-conditioned draft init (on_policy.py:254-265)
+            choices = [t for t in s.token_ids if t != pad_id]
+            if choices:
+                block_init[i, :gl] = self.rng.choice(choices, size=gl)
+            else:
+                block_init[i, :gl] = self.rng.randint(0, self.model_cfg.vocab_size, gl)
+            block_init[i, gl:] = pad_id
+
+        bt = self._pad_block_table(seqs, B)
+        res = runner.jacobi_onpolicy_block(
+            self.params, self.model_cfg, self.rope, self.kv,
+            jnp.asarray(tokens), jnp.asarray(cur_len), jnp.asarray(block_init),
+            jnp.asarray(gen_len), jnp.asarray(active), bt, jnp.asarray(capacity),
+            jnp.asarray(temps), jnp.asarray(top_ps), self._next_key(),
+            jnp.asarray(stops_arr), pad_id, top_k=top_k, use_top_p=use_top_p,
+        )
+        self.kv = res["kv"]
+        tokens_out = np.asarray(res["tokens"])
+        cur_out = np.asarray(res["cur_len"])
+        iters_out = np.asarray(res["iters"])
+        fwds_out = np.asarray(res["fwds"])
+        stopped_out = np.asarray(res["stopped"])
+        traj_out = np.asarray(res["traj"])
+
+        for i, s in enumerate(seqs):
+            if not active[i]:
+                continue
+            new = tokens_out[i, len(s) : cur_out[i]].tolist()
+            s.extend_tokens(new)
+            s.num_cached_tokens = len(s) - 1
+            s.op_iters += int(iters_out[i])
+            s.op_fwds += int(fwds_out[i])
+            s.op_stopped = bool(stopped_out[i])
+            s.jacobi_iters += 1  # block count (on-policy max_iterations = blocks)
+            n_it = int(iters_out[i])
+            total_toks = s.num_completion_tokens
+            s.rollout_records.append({
+                "diffusion_itr_id": f"itr_{len(s.rollout_records)}",
+                "prompt_ids": prefixes[i],
+                "answer_trajectory_ids": traj_out[i, : n_it + 1].tolist(),
+                "teacher_output_ids": None,  # max-filled at retirement
+                "tokens_per_iter": total_toks / max(s.op_iters, 1),
+                "tokens_per_forward": total_toks / max(s.op_fwds, 1),
+                "num_iters": s.op_iters,
+                "num_forwards": s.op_fwds,
+            })
+            self.stats["generated_tokens"] += len(new)
+            self.stats["jacobi_iterations"] += n_it
 
     # ------------------------------------------------------------------
     def generate(
@@ -324,5 +465,12 @@ class LLMEngine:
             out = {"token_ids": s.completion_token_ids}
             if self.tokenizer is not None:
                 out["text"] = self.tokenizer.decode(s.completion_token_ids)
+            if s.rollout_records:
+                # max-fill teacher_output_ids with the final full sequence
+                # (on_policy.py: teacher filled for ALL blocks at the end)
+                full = list(s.token_ids)
+                for rec in s.rollout_records:
+                    rec["teacher_output_ids"] = full
+                out["rollout_records"] = s.rollout_records
             outs.append(out)
         return outs

@@ -294,6 +294,350 @@ def jacobi_chunk_greedy(
     }
 
 
+# ---------------------------------------------------------------------------
+# Jacobi non-greedy (rejection-sampling) decode chunk
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk_budget", "max_iters", "top_k", "use_top_p"),
+    donate_argnames=("kv", "tokens"),
+)
+def jacobi_chunk_nongreedy(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    rope,
+    kv: KVCache,
+    tokens: jax.Array,  # [B, cap_tokens]
+    cur_len: jax.Array,  # [B]
+    draft: jax.Array,  # [B, L]
+    eos: jax.Array,  # [B] bool
+    iters: jax.Array,  # [B]
+    block_tables: jax.Array,
+    capacity: jax.Array,
+    max_new: jax.Array,
+    temperature: jax.Array,  # [B] > 0
+    top_p: jax.Array,  # [B] (ignored unless use_top_p)
+    key: jax.Array,
+    eos_token_id: int | jax.Array,
+    *,
+    chunk_budget: int,
+    max_iters: int,
+    top_k: int = -1,
+    use_top_p: bool = False,
+) -> Dict[str, jax.Array]:
+    """Device-resident Jacobi decoding with speculative-decoding-style
+    stochastic verification under a delta proposal.
+
+    Reference: JacobiDecoderNonGreedy._verify_block_rejection_sampling
+    (jacobi_decoding_nongreedy.py:299-354):
+      * accept drafted token x_t with probability p_t(x_t) (delta proposal);
+      * at the first rejection sample a bonus token from p_t conditioned on
+        != x_t (the delta-proposal residual), then stop the block;
+      * >= 1 token is committed per iteration;
+      * the next draft is the GREEDY continuation from the commit point
+        (jacobi_decoding_nongreedy.py:444-467), random-padded.
+    """
+    B, L = draft.shape
+    eos_token_id = jnp.asarray(eos_token_id, jnp.int32)
+    state = JacobiState(
+        kv=kv, tokens=tokens, cur_len=cur_len, draft=draft, eos=eos,
+        generated=jnp.zeros((B,), jnp.int32), iters=iters, key=key,
+    )
+
+    def cond(state: JacobiState):
+        return jnp.any(_jacobi_cond(chunk_budget, max_iters, state, max_new, capacity))
+
+    def body(state: JacobiState) -> JacobiState:
+        from jacobiforcing_tpu.ops.sampling import target_probs
+
+        active = _jacobi_cond(chunk_budget, max_iters, state, max_new, capacity)
+        positions = (state.cur_len - 1)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+        cache_lens = state.cur_len - 1 + L
+
+        h, kv = forward(
+            params, cfg, state.draft, positions, state.kv, block_tables,
+            cache_lens=cache_lens, rope=rope, write_mask=active[:, None].repeat(L, 1),
+        )
+        logits = logits_at(params, cfg, h)  # [B, L, V] fp32
+        greedy_full = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        key, k_u, k_bonus, k_pad = jax.random.split(state.key, 4)
+
+        # ---- stochastic verify ----
+        probs = target_probs(
+            logits[:, : L - 1, :], temperature[:, None],
+            top_k=top_k, top_p=top_p[:, None] if use_top_p else None,
+        )  # [B, L-1, V]
+        spec = state.draft[:, 1:]  # [B, L-1] proposed tokens
+        p_x = jnp.take_along_axis(probs, spec[..., None], axis=-1)[..., 0]
+        u = jax.random.uniform(k_u, (B, L - 1))
+        accept = u < p_x
+        n_acc = jnp.sum(
+            jnp.cumprod(accept.astype(jnp.int32), axis=-1), axis=-1
+        ).astype(jnp.int32)
+        rejected = n_acc < (L - 1)
+
+        # bonus ~ p_t(. | != proposed) at the rejection position
+        t_rej = jnp.minimum(n_acc, L - 2)
+        probs_rej = jnp.take_along_axis(
+            probs, t_rej[:, None, None], axis=1
+        )[:, 0, :]  # [B, V]
+        proposed_rej = jnp.take_along_axis(spec, t_rej[:, None], axis=1)[:, 0]
+        logp = jnp.log(jnp.maximum(probs_rej, 1e-30))
+        gumbel = -jnp.log(-jnp.log(jax.random.uniform(k_bonus, logp.shape) + 1e-10) + 1e-10)
+        z = logp + gumbel
+        z = z.at[jnp.arange(B), proposed_rej].set(-jnp.inf)
+        bonus = jnp.argmax(z, axis=-1).astype(jnp.int32)
+
+        j = jnp.arange(L - 1, dtype=jnp.int32)[None, :]
+        commit = jnp.where(
+            (j == n_acc[:, None]) & rejected[:, None], bonus[:, None], spec
+        )
+        count = n_acc + rejected.astype(jnp.int32)  # >= 1
+
+        # ---- EOS cap over committed tokens ----
+        is_eos = (commit == eos_token_id) & (eos_token_id >= 0)
+        eos_in = is_eos & (j < count[:, None])
+        any_eos = jnp.any(eos_in, axis=-1)
+        first_eos = jnp.argmax(eos_in, axis=-1).astype(jnp.int32)
+        count = jnp.where(any_eos, first_eos + 1, count)
+        new_eos = state.eos | (active & any_eos)
+
+        # ---- commit ----
+        tok_idx = state.cur_len[:, None] + j
+        valid = (j < count[:, None]) & active[:, None]
+        tok_idx = jnp.where(valid, tok_idx, state.tokens.shape[1])
+        tokens = state.tokens.at[jnp.arange(B)[:, None], tok_idx].set(commit, mode="drop")
+
+        count = jnp.where(active, count, 0)
+        cur_len = state.cur_len + count
+        generated = state.generated + count
+        new_iters = state.iters + active.astype(jnp.int32)
+
+        # ---- next draft: greedy continuation from acc_len-1 = count ----
+        seed = tokens[jnp.arange(B), jnp.maximum(cur_len - 1, 0)]
+        src = count[:, None] + j
+        in_range = src < L
+        cont = jnp.take_along_axis(greedy_full, jnp.clip(src, 0, L - 1), axis=1)
+        rand = jax.random.randint(k_pad, (B, L - 1), 0, cfg.vocab_size, jnp.int32)
+        new_spec = jnp.where(in_range, cont, rand)
+        new_draft = jnp.concatenate([seed[:, None], new_spec], axis=1)
+        new_draft = jnp.where(active[:, None], new_draft, state.draft)
+
+        return JacobiState(
+            kv=kv, tokens=tokens, cur_len=cur_len, draft=new_draft, eos=new_eos,
+            generated=generated, iters=new_iters, key=key,
+        )
+
+    state = lax.while_loop(cond, body, state)
+    return {
+        "kv": state.kv,
+        "tokens": state.tokens,
+        "cur_len": state.cur_len,
+        "draft": state.draft,
+        "eos": state.eos,
+        "generated": state.generated,
+        "iters": state.iters,
+    }
+
+
+# ---------------------------------------------------------------------------
+# On-policy rollout: one n-token block with full trajectory recording
+# ---------------------------------------------------------------------------
+
+
+class OnPolicyState(NamedTuple):
+    kv: KVCache
+    tokens: jax.Array  # [B, cap]
+    cur_len: jax.Array  # [B]
+    block_tokens: jax.Array  # [B, L] current block vector (committed + draft + pad)
+    accepted: jax.Array  # [B] committed count within the block
+    stopped: jax.Array  # [B] bool: stop token committed
+    traj: jax.Array  # [B, L+1, L] snapshots (0 = init, i = after iteration i)
+    it: jax.Array  # [B] iterations used in this block
+    fwds: jax.Array  # [B]
+    key: jax.Array
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "top_k", "use_top_p"),
+    donate_argnames=("kv", "tokens"),
+)
+def jacobi_onpolicy_block(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    rope,
+    kv: KVCache,
+    tokens: jax.Array,  # [B, cap]
+    cur_len: jax.Array,  # [B]
+    block_init: jax.Array,  # [B, L] initial draft (prompt-sampled) + pads
+    gen_len: jax.Array,  # [B] = min(L, remaining token budget)
+    active_in: jax.Array,  # [B] bool: row participates
+    block_tables: jax.Array,
+    capacity: jax.Array,
+    temperature: jax.Array,  # [B] > 0
+    top_p: jax.Array,
+    key: jax.Array,
+    stop_tokens: jax.Array,  # [n_stop] int32 (pad with -1)
+    pad_token_id: int | jax.Array,
+    *,
+    top_k: int = -1,
+    use_top_p: bool = False,
+) -> Dict[str, jax.Array]:
+    """Run ONE Jacobi block to completion, recording every intermediate block
+    state — the on-policy trajectory collector.
+
+    Reference: JacobiDecoderNonGreedyOnPolicy._run_one_block
+    (jacobi_decoding_nongreedy_on_policy.py:330-492):
+      * block vector of fixed length L; only gen_len positions generate, the
+        tail is pad;
+      * per iteration: forward [seed + undecided suffix], RS-verify (accept
+        w.p. p(x), bonus from p(.|!=x) at first rejection), commit >= 1;
+      * next drafts for undecided positions are SAMPLED from the current probs
+        (on_policy.py:465-478), overflow positions random;
+      * a committed stop token caps the block and pads its tail;
+      * trajectory records the block vector after every iteration (init first).
+    """
+    B, L = block_init.shape
+    pad_token_id = jnp.asarray(pad_token_id, jnp.int32)
+    jT = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    traj0 = jnp.zeros((B, L + 1, L), jnp.int32).at[:, 0, :].set(block_init)
+    state = OnPolicyState(
+        kv=kv, tokens=tokens, cur_len=cur_len, block_tokens=block_init,
+        accepted=jnp.zeros((B,), jnp.int32), stopped=~active_in, traj=traj0,
+        it=jnp.zeros((B,), jnp.int32), fwds=jnp.zeros((B,), jnp.int32), key=key,
+    )
+
+    def row_active(state: OnPolicyState):
+        can_fit = (state.cur_len + L) <= capacity
+        return (
+            (~state.stopped)
+            & (state.accepted < gen_len)
+            & can_fit
+            & (state.cur_len + L < state.tokens.shape[1])
+        )
+
+    def cond(state: OnPolicyState):
+        return jnp.any(row_active(state))
+
+    def body(state: OnPolicyState) -> OnPolicyState:
+        from jacobiforcing_tpu.ops.sampling import target_probs
+
+        active = row_active(state)
+        remaining = jnp.clip(gen_len - state.accepted, 1, L)  # [B]
+        seed = state.tokens[jnp.arange(B), jnp.maximum(state.cur_len - 1, 0)]
+        src = state.accepted[:, None] + jT
+        proposed = jnp.take_along_axis(
+            state.block_tokens, jnp.clip(src, 0, L - 1), axis=1
+        )  # [B, L]
+        draft = jnp.concatenate([seed[:, None], proposed], axis=1)  # [B, L+1]
+
+        positions = (state.cur_len - 1)[:, None] + jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+        write_mask = (jnp.arange(L + 1, dtype=jnp.int32)[None, :] <= remaining[:, None]) & active[:, None]
+        cache_lens = state.cur_len + remaining
+
+        h, kv = forward(
+            params, cfg, draft, positions, state.kv, block_tables,
+            cache_lens=cache_lens, rope=rope, write_mask=write_mask,
+        )
+        logits = logits_at(params, cfg, h[:, :L, :])  # [B, L, V]
+
+        key, k_u, k_bonus, k_samp, k_pad = jax.random.split(state.key, 5)
+        probs = target_probs(
+            logits, temperature[:, None],
+            top_k=top_k, top_p=top_p[:, None] if use_top_p else None,
+        )  # [B, L, V]
+        p_x = jnp.take_along_axis(probs, proposed[..., None], axis=-1)[..., 0]
+        u = jax.random.uniform(k_u, (B, L))
+        accept = (u < p_x) & (jT < remaining[:, None])
+        n_acc = jnp.sum(
+            jnp.cumprod(accept.astype(jnp.int32), axis=-1), axis=-1
+        ).astype(jnp.int32)
+        rejected = n_acc < remaining
+
+        t_rej = jnp.minimum(n_acc, remaining - 1)
+        probs_rej = jnp.take_along_axis(probs, t_rej[:, None, None], axis=1)[:, 0, :]
+        proposed_rej = jnp.take_along_axis(proposed, t_rej[:, None], axis=1)[:, 0]
+        logp = jnp.log(jnp.maximum(probs_rej, 1e-30))
+        gumbel = -jnp.log(-jnp.log(jax.random.uniform(k_bonus, logp.shape) + 1e-10) + 1e-10)
+        z = logp + gumbel
+        z = z.at[jnp.arange(B), proposed_rej].set(-jnp.inf)
+        bonus = jnp.argmax(z, axis=-1).astype(jnp.int32)
+
+        commit = jnp.where((jT == n_acc[:, None]) & rejected[:, None], bonus[:, None], proposed)
+        count = n_acc + rejected.astype(jnp.int32)  # >= 1
+
+        # stop-token cap (multi-stop set, on_policy.py stop handling)
+        is_stop = jnp.any(
+            commit[:, :, None] == stop_tokens[None, None, :], axis=-1
+        ) & (stop_tokens.max() >= 0)
+        stop_in = is_stop & (jT < count[:, None])
+        any_stop = jnp.any(stop_in, axis=-1)
+        first_stop = jnp.argmax(stop_in, axis=-1).astype(jnp.int32)
+        count = jnp.where(any_stop, first_stop + 1, count)
+        stopped = state.stopped | (active & any_stop)
+
+        # commit into the running sequence
+        tok_idx = state.cur_len[:, None] + jT
+        valid = (jT < count[:, None]) & active[:, None]
+        tok_idx = jnp.where(valid, tok_idx, state.tokens.shape[1])
+        tokens = state.tokens.at[jnp.arange(B)[:, None], tok_idx].set(commit, mode="drop")
+        count = jnp.where(active, count, 0)
+        cur_len = state.cur_len + count
+
+        # commit into the block vector at [accepted, accepted+count)
+        blk_idx = state.accepted[:, None] + jT
+        blk_idx = jnp.where(valid, blk_idx, L)
+        bt1 = state.block_tokens.at[jnp.arange(B)[:, None], blk_idx].set(commit, mode="drop")
+        accepted = jnp.minimum(gen_len, state.accepted + count)
+
+        # sampled next drafts for undecided positions (on_policy.py:465-478)
+        gs = -jnp.log(-jnp.log(jax.random.uniform(k_samp, probs.shape) + 1e-10) + 1e-10)
+        samp = jnp.argmax(jnp.log(jnp.maximum(probs, 1e-30)) + gs, axis=-1).astype(jnp.int32)
+        rand = jax.random.randint(k_pad, (B, L), 0, cfg.vocab_size, jnp.int32)
+        # block position q >= accepted: local sample index = count + (q - accepted)
+        sample_idx = count[:, None] + (jT - accepted[:, None])
+        in_logits = (sample_idx >= 0) & (sample_idx < remaining[:, None])
+        samp_at = jnp.take_along_axis(samp, jnp.clip(sample_idx, 0, L - 1), axis=1)
+        draft_val = jnp.where(in_logits, samp_at, rand)
+
+        new_bt = jnp.where(
+            jT < accepted[:, None],
+            bt1,
+            jnp.where(
+                stopped[:, None] | (jT >= gen_len[:, None]), pad_token_id, draft_val
+            ),
+        )
+        new_bt = jnp.where(active[:, None], new_bt, state.block_tokens)
+
+        it = state.it + active.astype(jnp.int32)
+        fwds = state.fwds + active.astype(jnp.int32)
+        snap_idx = jnp.where(active, it, L + 1)  # OOB -> drop for inactive
+        traj = state.traj.at[jnp.arange(B), snap_idx, :].set(new_bt, mode="drop")
+
+        return OnPolicyState(
+            kv=kv, tokens=tokens, cur_len=cur_len, block_tokens=new_bt,
+            accepted=accepted, stopped=stopped, traj=traj, it=it, fwds=fwds, key=key,
+        )
+
+    state = lax.while_loop(cond, body, state)
+    return {
+        "kv": state.kv,
+        "tokens": state.tokens,
+        "cur_len": state.cur_len,
+        "block_tokens": state.block_tokens,
+        "accepted": state.accepted,
+        "stopped": state.stopped,
+        "traj": state.traj,
+        "iters": state.it,
+        "fwds": state.fwds,
+    }
+
+
 def make_first_draft(
     prefill_draft: jax.Array,  # [B, >=1] greedy predictions from prefill
     last_tokens: jax.Array,  # [B] last committed (prompt) token

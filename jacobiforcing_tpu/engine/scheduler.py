@@ -125,7 +125,10 @@ class Scheduler:
                 sp.decode_strategy.startswith("jacobi")
                 and seq.jacobi_iters >= sp.jacobi_max_iterations
             )
-            if hit_eos or out_of_iters or seq.num_completion_tokens >= sp.max_tokens:
+            # on-policy: a committed stop token ends the rollout (for on-policy
+            # jacobi_max_iterations counts BLOCKS — on_policy.py:232-247)
+            op_done = sp.decode_strategy == "jacobi_on_policy" and seq.op_stopped
+            if hit_eos or out_of_iters or op_done or seq.num_completion_tokens >= sp.max_tokens:
                 seq.truncate_completion()
                 seq.status = SequenceStatus.FINISHED
                 self.block_manager.deallocate(seq)

@@ -40,6 +40,9 @@ class Sequence:
         self.jacobi_iters = 0
         # on-policy rollout records (reference jacobi_decoding_nongreedy_on_policy.py)
         self.rollout_records: List[dict] = []
+        self.op_stopped = False
+        self.op_iters = 0
+        self.op_fwds = 0
 
     def __len__(self) -> int:
         return len(self.token_ids)

@@ -45,3 +45,34 @@ def sample(
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape) + 1e-10) + 1e-10)
     noisy = logits + jnp.where(temperature[..., None] > 0, gumbel, 0.0)
     return jnp.argmax(noisy, axis=-1).astype(jnp.int32)
+
+
+def target_probs(
+    logits: jax.Array,  # [..., V] fp32
+    temperature: jax.Array,  # [...] > 0
+    top_k: int = -1,  # static (engine groups requests by top_k)
+    top_p: jax.Array | None = None,  # [...] dynamic nucleus threshold
+) -> jax.Array:
+    """logits -> target sampling distribution p(.).
+
+    Reference: _build_target_probs (jacobi_decoding_nongreedy.py:110-123):
+    temperature softmax, then top-k zero+renorm, then nucleus filtering
+    keeping the smallest prefix with cdf <= top_p (always >= 1 token).
+    """
+    t = jnp.maximum(temperature, 1e-6)[..., None]
+    probs = jax.nn.softmax(logits / t, axis=-1)
+    if top_k > 0 and top_k < probs.shape[-1]:
+        kth = jax.lax.top_k(probs, top_k)[0][..., -1:]
+        probs = jnp.where(probs < kth, 0.0, probs)
+        probs = probs / jnp.maximum(probs.sum(-1, keepdims=True), 1e-12)
+    if top_p is not None:
+        order = jnp.argsort(-probs, axis=-1)
+        sorted_p = jnp.take_along_axis(probs, order, axis=-1)
+        cdf = jnp.cumsum(sorted_p, axis=-1)
+        keep_sorted = cdf <= top_p[..., None]
+        keep_sorted = keep_sorted.at[..., 0].set(True)
+        inv = jnp.argsort(order, axis=-1)  # unsort permutation
+        keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+        probs = jnp.where(keep, probs, 0.0)
+        probs = probs / jnp.maximum(probs.sum(-1, keepdims=True), 1e-12)
+    return probs
