@@ -463,7 +463,7 @@ class OnPolicyState(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "top_k", "use_top_p"),
+    static_argnames=("cfg", "top_k", "use_top_p", "greedy_mode"),
     donate_argnames=("kv", "tokens"),
 )
 def jacobi_onpolicy_block(
@@ -486,9 +486,17 @@ def jacobi_onpolicy_block(
     *,
     top_k: int = -1,
     use_top_p: bool = False,
+    greedy_mode: bool = False,
 ) -> Dict[str, jax.Array]:
     """Run ONE Jacobi block to completion, recording every intermediate block
     state — the on-policy trajectory collector.
+
+    With greedy_mode=True this is instead the GREEDY trajectory collector of
+    the reference data pipeline (get_jacobi_forward_trajectory_greedy,
+    generate_trajectory/generation/qwen2_modeling_jacobi_forcing_greedy.py:276-462):
+    exact-match acceptance, AR fallback committing argmax[0] on zero
+    acceptance, and greedy-continuation tail refresh — every intermediate
+    block state (accepted prefix + refreshed tail) recorded per iteration.
 
     Reference: JacobiDecoderNonGreedyOnPolicy._run_one_block
     (jacobi_decoding_nongreedy_on_policy.py:330-492):
@@ -547,29 +555,44 @@ def jacobi_onpolicy_block(
         logits = logits_at(params, cfg, h[:, :L, :])  # [B, L, V]
 
         key, k_u, k_bonus, k_samp, k_pad = jax.random.split(state.key, 5)
-        probs = target_probs(
-            logits, temperature[:, None],
-            top_k=top_k, top_p=top_p[:, None] if use_top_p else None,
-        )  # [B, L, V]
-        p_x = jnp.take_along_axis(probs, proposed[..., None], axis=-1)[..., 0]
-        u = jax.random.uniform(k_u, (B, L))
-        accept = (u < p_x) & (jT < remaining[:, None])
-        n_acc = jnp.sum(
-            jnp.cumprod(accept.astype(jnp.int32), axis=-1), axis=-1
-        ).astype(jnp.int32)
-        rejected = n_acc < remaining
+        greedy_full = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, L]
+        if greedy_mode:
+            accept = (proposed == greedy_full) & (jT < remaining[:, None])
+            n_acc = jnp.sum(
+                jnp.cumprod(accept.astype(jnp.int32), axis=-1), axis=-1
+            ).astype(jnp.int32)
+            # AR fallback: zero acceptance commits argmax[0]
+            # (qwen2_modeling_jacobi_forcing_greedy.py AR fallback semantics)
+            fallback = n_acc == 0
+            commit = jnp.where(
+                (jT == 0) & fallback[:, None], greedy_full[:, :1], proposed
+            )
+            count = jnp.maximum(n_acc, 1)
+            samp = greedy_full  # tail refresh = greedy continuation
+        else:
+            probs = target_probs(
+                logits, temperature[:, None],
+                top_k=top_k, top_p=top_p[:, None] if use_top_p else None,
+            )  # [B, L, V]
+            p_x = jnp.take_along_axis(probs, proposed[..., None], axis=-1)[..., 0]
+            u = jax.random.uniform(k_u, (B, L))
+            accept = (u < p_x) & (jT < remaining[:, None])
+            n_acc = jnp.sum(
+                jnp.cumprod(accept.astype(jnp.int32), axis=-1), axis=-1
+            ).astype(jnp.int32)
+            rejected = n_acc < remaining
 
-        t_rej = jnp.minimum(n_acc, remaining - 1)
-        probs_rej = jnp.take_along_axis(probs, t_rej[:, None, None], axis=1)[:, 0, :]
-        proposed_rej = jnp.take_along_axis(proposed, t_rej[:, None], axis=1)[:, 0]
-        logp = jnp.log(jnp.maximum(probs_rej, 1e-30))
-        gumbel = -jnp.log(-jnp.log(jax.random.uniform(k_bonus, logp.shape) + 1e-10) + 1e-10)
-        z = logp + gumbel
-        z = z.at[jnp.arange(B), proposed_rej].set(-jnp.inf)
-        bonus = jnp.argmax(z, axis=-1).astype(jnp.int32)
+            t_rej = jnp.minimum(n_acc, remaining - 1)
+            probs_rej = jnp.take_along_axis(probs, t_rej[:, None, None], axis=1)[:, 0, :]
+            proposed_rej = jnp.take_along_axis(proposed, t_rej[:, None], axis=1)[:, 0]
+            logp = jnp.log(jnp.maximum(probs_rej, 1e-30))
+            gumbel = -jnp.log(-jnp.log(jax.random.uniform(k_bonus, logp.shape) + 1e-10) + 1e-10)
+            z = logp + gumbel
+            z = z.at[jnp.arange(B), proposed_rej].set(-jnp.inf)
+            bonus = jnp.argmax(z, axis=-1).astype(jnp.int32)
 
-        commit = jnp.where((jT == n_acc[:, None]) & rejected[:, None], bonus[:, None], proposed)
-        count = n_acc + rejected.astype(jnp.int32)  # >= 1
+            commit = jnp.where((jT == n_acc[:, None]) & rejected[:, None], bonus[:, None], proposed)
+            count = n_acc + rejected.astype(jnp.int32)  # >= 1
 
         # stop-token cap (multi-stop set, on_policy.py stop handling)
         is_stop = jnp.any(
@@ -595,9 +618,10 @@ def jacobi_onpolicy_block(
         bt1 = state.block_tokens.at[jnp.arange(B)[:, None], blk_idx].set(commit, mode="drop")
         accepted = jnp.minimum(gen_len, state.accepted + count)
 
-        # sampled next drafts for undecided positions (on_policy.py:465-478)
-        gs = -jnp.log(-jnp.log(jax.random.uniform(k_samp, probs.shape) + 1e-10) + 1e-10)
-        samp = jnp.argmax(jnp.log(jnp.maximum(probs, 1e-30)) + gs, axis=-1).astype(jnp.int32)
+        if not greedy_mode:
+            # sampled next drafts for undecided positions (on_policy.py:465-478)
+            gs = -jnp.log(-jnp.log(jax.random.uniform(k_samp, probs.shape) + 1e-10) + 1e-10)
+            samp = jnp.argmax(jnp.log(jnp.maximum(probs, 1e-30)) + gs, axis=-1).astype(jnp.int32)
         rand = jax.random.randint(k_pad, (B, L), 0, cfg.vocab_size, jnp.int32)
         # block position q >= accepted: local sample index = count + (q - accepted)
         sample_idx = count[:, None] + (jT - accepted[:, None])
