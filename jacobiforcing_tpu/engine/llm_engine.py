@@ -107,14 +107,15 @@ class LLMEngine:
     # ------------------------------------------------------------------
     SUPPORTED_STRATEGIES = {
         "autoregressive", "jacobi", "jacobi_nongreedy", "jacobi_on_policy",
+        # Engine-side MR support is an extension over the reference, whose
+        # serving engine declares it unsupported (model_runner.py:1468-1473)
+        # and only implements it on the HF path (modeling/...unified.py).
+        "jacobi_multiblock_rejection_recycling",
     }
 
     def add_request(self, token_ids: List[int], sampling_params: SamplingParams) -> Sequence:
         strat = sampling_params.decode_strategy
         if strat not in self.SUPPORTED_STRATEGIES:
-            # Matches the reference's engine-side guard for declared-unsupported
-            # strategies (model_runner.py:1468-1473; test expects
-            # NotImplementedError for jacobi_multiblock_rejection_recycling).
             raise NotImplementedError(f"decode_strategy {strat!r} not supported yet")
         seq = Sequence(token_ids, sampling_params)
         self.scheduler.add(seq)
@@ -216,6 +217,13 @@ class LLMEngine:
         jac = [s for s in seqs if s.sampling_params.decode_strategy.startswith("jacobi")]
         for i in range(0, len(ar), max_b):
             self._ar_step(ar[i : i + max_b])
+        mr = [
+            s for s in jac
+            if s.sampling_params.decode_strategy == "jacobi_multiblock_rejection_recycling"
+        ]
+        for s in mr:
+            self._multiblock_chunk(s)
+        jac = [s for s in jac if s not in mr]
         onpolicy = [s for s in jac if s.sampling_params.decode_strategy == "jacobi_on_policy"]
         jac = [s for s in jac if s.sampling_params.decode_strategy != "jacobi_on_policy"]
         op_groups: Dict[tuple, List[Sequence]] = {}
@@ -360,6 +368,91 @@ class LLMEngine:
             s.jacobi_iters = int(iters_out[i])
             self.stats["generated_tokens"] += int(gen[i])
         self.stats["jacobi_iterations"] += int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum())
+        self.stats["chunk_calls"] += 1
+
+    # ------------------------------------------------------------------
+    def _multiblock_chunk(self, s: Sequence) -> None:
+        """One device segment of multiblock + rejection-recycling decoding
+        (single sequence, like the reference HF path)."""
+        import math
+
+        from jacobiforcing_tpu.engine.multiblock import jacobi_chunk_multiblock
+
+        sp = s.sampling_params
+        N = sp.jacobi_block_len
+        K = max(1, sp.jacobi_max_blocks)
+        C = max(1, sp.jacobi_n_gram_pool_size)
+        W = 2 * N
+        pad_id = max(self.config.pad, 0)
+
+        if s.mb_state is None:
+            pf = s.prefill_draft if s.prefill_draft is not None else np.zeros(0, np.int32)
+            draft0 = np.full((N,), pad_id, np.int32)
+            n = min(len(pf), N)
+            draft0[:n] = pf[:n]
+            if n < N:
+                draft0[n:] = self.rng.randint(0, self.model_cfg.vocab_size, N - n)
+            s.prefill_draft = None
+            bd = np.zeros((K, N), np.int32)
+            bd[0] = draft0
+            s.mb_state = {
+                "blk_draft": bd,
+                "blk_dlen": np.asarray([N] + [0] * (K - 1), np.int32),
+                "blk_acc": np.zeros((K,), np.int32),
+                "blk_acc_toks": np.zeros((K, N), np.int32),
+                "blk_base": np.asarray([len(s)] + [0] * (K - 1), np.int32),
+                "blk_active": np.asarray([True] + [False] * (K - 1), bool),
+                "ra": np.int32(0),
+                "n_active": np.int32(1),
+                "pool": np.zeros((C, W), np.int32),
+                "pool_len": np.zeros((C,), np.int32),
+                "pool_next": np.int32(0),
+                "last_next": np.int32(draft0[0]),
+            }
+        st = s.mb_state
+
+        tokens = np.zeros((self.cap_tokens,), np.int32)
+        tokens[: len(s)] = s.token_ids
+        bt = self._pad_block_table([s], 1)
+        capacity = min(self.block_manager.capacity_tokens(s), self.cap_tokens - 1)
+        max_new = max(0, s.max_tokens - s.num_completion_tokens)
+        eos_id = -1 if sp.ignore_eos else self.config.eos
+        spawn_thr = int(math.ceil(sp.jacobi_spawn_ratio * N))
+        la_start = int(math.ceil(sp.jacobi_lookahead_start_ratio * N))
+
+        res = jacobi_chunk_multiblock(
+            self.params, self.model_cfg, self.rope, self.kv,
+            jnp.asarray(tokens), jnp.int32(len(s)),
+            jnp.asarray(st["blk_draft"]), jnp.asarray(st["blk_dlen"]),
+            jnp.asarray(st["blk_acc"]), jnp.asarray(st["blk_acc_toks"]),
+            jnp.asarray(st["blk_base"]), jnp.asarray(st["blk_active"]),
+            jnp.int32(st["ra"]), jnp.int32(st["n_active"]),
+            jnp.asarray(st["pool"]), jnp.asarray(st["pool_len"]),
+            jnp.int32(st["pool_next"]), jnp.int32(st["last_next"]),
+            jnp.asarray(False), jnp.int32(s.jacobi_iters), bt,
+            jnp.int32(capacity), jnp.int32(max_new), eos_id, pad_id,
+            spawn_thr, la_start,
+            N=N, K=K, C=C, W=W,
+            chunk_budget=self.config.jacobi_chunk_tokens,
+            max_iters=self.config.jacobi_max_iterations,
+        )
+        self.kv = res["kv"]
+        cur = int(res["cur_len"])
+        toks = np.asarray(res["tokens"])
+        new = toks[len(s) : cur].tolist()
+        s.extend_tokens(new)
+        s.num_cached_tokens = len(s) - 1
+        iters_delta = int(res["iters"]) - s.jacobi_iters
+        s.jacobi_iters = int(res["iters"])
+        for k in ("blk_draft", "blk_dlen", "blk_acc", "blk_acc_toks", "blk_base",
+                  "blk_active", "pool", "pool_len"):
+            st[k] = np.asarray(res[k])
+        st["ra"] = np.int32(res["ra"])
+        st["n_active"] = np.int32(res["n_active"])
+        st["pool_next"] = np.int32(res["pool_next"])
+        st["last_next"] = np.int32(res["last_next"])
+        self.stats["generated_tokens"] += int(res["generated"])
+        self.stats["jacobi_iterations"] += iters_delta
         self.stats["chunk_calls"] += 1
 
     # ------------------------------------------------------------------

@@ -43,6 +43,8 @@ class Sequence:
         self.op_stopped = False
         self.op_iters = 0
         self.op_fwds = 0
+        # multiblock (MR) device-state carried between chunks
+        self.mb_state: Optional[dict] = None
 
     def __len__(self) -> int:
         return len(self.token_ids)

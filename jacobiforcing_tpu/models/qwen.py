@@ -298,6 +298,68 @@ def forward(
     return h, KVCache(k=new_k, v=new_v, page_size=page)
 
 
+def forward_spec(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    input_ids: jax.Array,  # [B, T] speculative token block (RA/cands/pseudos)
+    positions: jax.Array,  # [B, T] semantic positions per token
+    kv_cache: KVCache,
+    block_tables: jax.Array,
+    cache_lens: jax.Array,  # [B] committed KV length
+    intra_mask: jax.Array,  # [B, T, T] visibility within the block
+    rope: Tuple[jax.Array, jax.Array],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Speculative forward: reads committed paged KV, writes NOTHING.
+
+    Returns (hidden [B,T,H], k_new [layers,B,T,KH,D], v_new [...]) so the
+    caller can scatter only the verified winner's K/V into the cache — the TPU
+    analog of the reference's forward-then-trim over a batch-expanded
+    DynamicCache (modeling/...unified.py:429-464, 616-626).
+    """
+    from jacobiforcing_tpu.ops.attention import paged_attention_with_block
+
+    B, T = input_ids.shape
+    x = params["embed"].astype(cfg.dtype)[input_ids]
+    cos_t, sin_t = rope
+    cos = cos_t[jnp.minimum(positions, cfg.max_position - 1)]
+    sin = sin_t[jnp.minimum(positions, cfg.max_position - 1)]
+    lp = params["layers"]
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+
+    def layer_body(h, xs):
+        w, k_cache_l, v_cache_l = xs
+        hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
+        q = hn @ w["wq"]
+        kk = hn @ w["wk"]
+        vv = hn @ w["wv"]
+        if cfg.qkv_bias:
+            q, kk, vv = q + w["bq"], kk + w["bk"], vv + w["bv"]
+        q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+        kk = kk.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        vv = vv.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            q = rms_norm(q, w["q_norm"], cfg.rms_norm_eps)
+            kk = rms_norm(kk, w["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        kk = apply_rope(kk, cos, sin)
+
+        o = paged_attention_with_block(
+            q, k_cache_l, v_cache_l, block_tables, cache_lens,
+            kk, vv, intra_mask, scale, page_size=kv_cache.page_size,
+        )
+        o = o.reshape(B, T, cfg.q_size) @ w["wo"]
+        h = h + o
+        hn = rms_norm(h, w["ln2"], cfg.rms_norm_eps)
+        g = hn @ w["w_gate"]
+        u = hn @ w["w_up"]
+        mlp = (jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u) @ w["w_down"]
+        return h + mlp, (kk, vv)
+
+    h, (k_new, v_new) = lax.scan(layer_body, x, (lp, kv_cache.k, kv_cache.v))
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    return h, k_new, v_new
+
+
 def forward_dense(
     params: Dict[str, Any],
     cfg: ModelConfig,

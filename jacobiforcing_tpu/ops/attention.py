@@ -76,6 +76,58 @@ def paged_attention_xla(
     return out.transpose(0, 3, 1, 2, 4).reshape(B, T, NH, D)
 
 
+def paged_attention_with_block(
+    q: jax.Array,  # [B, T, NH, D]
+    k_cache_l: jax.Array,  # [num_slots, KH, D]
+    v_cache_l: jax.Array,
+    block_tables: jax.Array,  # [B, P]
+    cache_lens: jax.Array,  # [B] committed KV length (all attended)
+    k_new: jax.Array,  # [B, T, KH, D] in-flight block K (NOT written to cache)
+    v_new: jax.Array,
+    intra_mask: jax.Array,  # [B, T, T] bool: q attends in-flight key?
+    scale: float,
+    *,
+    page_size: int,
+) -> jax.Array:
+    """Speculative attention: committed paged KV (read-only) + in-flight block
+    KV under an arbitrary intra-block mask, one softmax over both.
+
+    TPU replacement for the reference's KV batch-expansion speculative
+    verification (modeling/...unified.py:93-137 _resize_dynamic_cache_batch +
+    forward-then-trim): candidate/pseudo tokens never touch the cache; the
+    winner's K/V (returned by forward_spec) is scattered in afterwards.
+    """
+    B, T, NH, D = q.shape
+    KH = k_cache_l.shape[-2]
+    groups = NH // KH
+    acc = jnp.promote_types(q.dtype, jnp.float32)
+
+    kc = gather_pages(k_cache_l, block_tables, page_size).astype(q.dtype)  # [B, S, KH, D]
+    vc = gather_pages(v_cache_l, block_tables, page_size).astype(q.dtype)
+    S = kc.shape[1]
+
+    qg = q.reshape(B, T, KH, groups, D).transpose(0, 2, 3, 1, 4)  # [B,KH,G,T,D]
+    sc_cache = jnp.einsum(
+        "bhgtd,bshd->bhgts", qg, kc, preferred_element_type=acc
+    ) * scale
+    key_pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid_c = (key_pos < cache_lens[:, None])[:, None, None, None, :]
+    sc_cache = jnp.where(valid_c, sc_cache, _NEG_INF)
+
+    sc_blk = jnp.einsum(
+        "bhgtd,bshd->bhgts", qg, k_new.astype(q.dtype), preferred_element_type=acc
+    ) * scale
+    sc_blk = jnp.where(intra_mask[:, None, None, :, :], sc_blk, _NEG_INF)
+
+    sc = jnp.concatenate([sc_cache, sc_blk], axis=-1)
+    probs = jax.nn.softmax(sc, axis=-1).astype(q.dtype)
+    p_cache, p_blk = probs[..., :S], probs[..., S:]
+    out = jnp.einsum("bhgts,bshd->bhgtd", p_cache, vc) + jnp.einsum(
+        "bhgts,bshd->bhgtd", p_blk, v_new.astype(q.dtype)
+    )
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, T, NH, D)
+
+
 def paged_attention(
     q,
     k_cache_l,

@@ -97,11 +97,12 @@ def test_preemption_under_page_pressure():
 
 
 def test_unsupported_strategy_raises():
+    # The reference engine raises for MR (model_runner.py:1468-1473); ours
+    # supports it, so the guard is checked with a genuinely unknown strategy.
     eng = make_engine()
     with pytest.raises(NotImplementedError):
         eng.add_request(
-            [1, 2, 3],
-            SamplingParams(decode_strategy="jacobi_multiblock_rejection_recycling"),
+            [1, 2, 3], SamplingParams(decode_strategy="no_such_strategy")
         )
 
 
