@@ -274,8 +274,11 @@ def jacobi_chunk_multiblock(
         slots = jnp.where(commit_ok & (page_idx >= 0), page_idx * page + pos_c % page,
                           st.kv.num_slots)
         rows = w * N + jN
-        new_k = st.kv.k.at[:, slots].set(k_new[:, 0, rows], mode="drop")
-        new_v = st.kv.v.at[:, slots].set(v_new[:, 0, rows], mode="drop")
+        # stash [Lyr, 1, T, KH, D] -> winner rows [Lyr, N, KH, D] -> head-major
+        kw = k_new[:, 0, rows].transpose(0, 2, 1, 3)  # [Lyr, KH, N, D]
+        vw = v_new[:, 0, rows].transpose(0, 2, 1, 3)
+        new_k = st.kv.k.at[:, :, slots].set(kw, mode="drop")
+        new_v = st.kv.v.at[:, :, slots].set(vw, mode="drop")
         kv2 = KVCache(new_k, new_v, page)
 
         cur_len2 = st.cur_len + acc_w

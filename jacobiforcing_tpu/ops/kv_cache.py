@@ -26,7 +26,11 @@ import jax.numpy as jnp
 class KVCache(NamedTuple):
     """Paged KV storage for all layers.
 
-    k, v: [num_layers, num_pages * page_size, num_kv_heads, head_dim]
+    k, v: [num_layers, num_kv_heads, num_pages * page_size, head_dim]
+
+    Head-major layout: a page of one kv head is a contiguous [page, head_dim]
+    HBM slab, which the Pallas kernel DMAs directly (slicing the head axis of
+    a head-minor layout would violate TPU (sublane, lane) tiling).
     """
 
     k: jax.Array
@@ -35,11 +39,11 @@ class KVCache(NamedTuple):
 
     @property
     def num_slots(self) -> int:
-        return self.k.shape[1]
+        return self.k.shape[2]
 
     @property
     def num_pages(self) -> int:
-        return self.k.shape[1] // self.page_size
+        return self.k.shape[2] // self.page_size
 
 
 # Register page_size as static metadata so KVCache works as a jit arg.
@@ -58,12 +62,12 @@ def alloc_kv_cache(
     head_dim: int,
     dtype=jnp.bfloat16,
 ) -> KVCache:
-    shape = (num_layers, num_pages * page_size, num_kv_heads, head_dim)
+    shape = (num_layers, num_kv_heads, num_pages * page_size, head_dim)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), page_size)
 
 
 def write_kv(
-    k_cache: jax.Array,  # [num_slots, KH, D] (single layer)
+    k_cache: jax.Array,  # [KH, num_slots, D] (single layer)
     v_cache: jax.Array,
     k_new: jax.Array,  # [B, T, KH, D]
     v_new: jax.Array,
@@ -72,19 +76,19 @@ def write_kv(
     """Scatter new K/V rows into the flat paged cache (one layer)."""
     flat_slots = slots.reshape(-1)
     kh, d = k_new.shape[-2], k_new.shape[-1]
-    k_rows = k_new.reshape(-1, kh, d).astype(k_cache.dtype)
-    v_rows = v_new.reshape(-1, kh, d).astype(v_cache.dtype)
-    k_cache = k_cache.at[flat_slots].set(k_rows, mode="drop", unique_indices=False)
-    v_cache = v_cache.at[flat_slots].set(v_rows, mode="drop", unique_indices=False)
+    k_rows = k_new.reshape(-1, kh, d).transpose(1, 0, 2).astype(k_cache.dtype)
+    v_rows = v_new.reshape(-1, kh, d).transpose(1, 0, 2).astype(v_cache.dtype)
+    k_cache = k_cache.at[:, flat_slots].set(k_rows, mode="drop", unique_indices=False)
+    v_cache = v_cache.at[:, flat_slots].set(v_rows, mode="drop", unique_indices=False)
     return k_cache, v_cache
 
 
 def gather_pages(
-    cache_l: jax.Array,  # [num_slots, KH, D] (single layer)
+    cache_l: jax.Array,  # [KH, num_slots, D] (single layer)
     block_tables: jax.Array,  # [B, P] int32 (-1 = unused page)
     page_size: int,
 ) -> jax.Array:
-    """Gather each sequence's pages into contiguous [B, P*page, KH, D].
+    """Gather each sequence's pages into contiguous [B, S_max, KH, D].
 
     Reference analog: Triton load_kvcache_kernel (attention.py:43-75).  Used by
     the XLA (non-Pallas) attention path; the Pallas kernel reads pages from HBM
@@ -95,4 +99,4 @@ def gather_pages(
         jnp.maximum(block_tables, 0)[:, :, None] * page_size
         + jnp.arange(page_size)[None, None, :]
     ).reshape(B, P * page_size)
-    return cache_l[slot_idx]  # [B, S_max, KH, D]
+    return cache_l[:, slot_idx].transpose(1, 2, 0, 3)  # [B, S_max, KH, D]

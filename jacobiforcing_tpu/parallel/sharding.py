@@ -64,12 +64,12 @@ def param_specs(cfg: ModelConfig, *, fsdp: bool = False) -> Dict[str, Any]:
 def kv_cache_spec() -> Any:
     """KV pages sharded over kv-heads on the model axis.
 
-    k/v: [layers, slots, kv_heads, head_dim] -> P(None, None, "model", None).
+    k/v: [layers, kv_heads, slots, head_dim] -> P(None, "model", None, None).
     """
     from jacobiforcing_tpu.ops.kv_cache import KVCache
 
     return KVCache(
-        k=P(None, None, "model", None), v=P(None, None, "model", None), page_size=0
+        k=P(None, "model", None, None), v=P(None, "model", None, None), page_size=0
     )
 
 

@@ -1,0 +1,54 @@
+"""Pallas paged-attention kernel vs the XLA reference path (interpret mode on
+CPU; the same kernel runs compiled on TPU via JF_ATTN_IMPL=pallas)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jacobiforcing_tpu.ops.attention import paged_attention_xla
+from jacobiforcing_tpu.ops.pallas.paged_attention import paged_attention_pallas
+
+PAGE = 16
+
+
+def _setup(B=2, L=4, NH=4, KH=2, D=32, pages_per_seq=6, num_pages=16, seed=0):
+    r = np.random.RandomState(seed)
+    q = jnp.asarray(r.randn(B, L, NH, D), jnp.float32)
+    k = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    v = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    bt = np.full((B, pages_per_seq), -1, np.int32)
+    for b in range(B):
+        bt[b] = np.arange(b * pages_per_seq, (b + 1) * pages_per_seq)
+    return q, k, v, jnp.asarray(bt)
+
+
+@pytest.mark.parametrize("L,cache0,cache1", [
+    (4, 37, 80),   # jacobi block, ragged tails
+    (1, 17, 65),   # AR decode
+])
+def test_kernel_matches_xla(L, cache0, cache1):
+    q, k, v, bt = _setup(L=L)
+    cache_lens = jnp.asarray([cache0, cache1], jnp.int32)
+    positions = (cache_lens - L)[:, None] + jnp.arange(L)[None, :]
+    scale = 1.0 / np.sqrt(q.shape[-1])
+
+    ref = paged_attention_xla(q, k, v, bt, cache_lens, positions, scale, page_size=PAGE)
+    out = paged_attention_pallas(
+        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_prefill_positions():
+    """Prefill-style: positions starting at a prefix-cache offset."""
+    q, k, v, bt = _setup(L=8)
+    cache_lens = jnp.asarray([40, 56], jnp.int32)
+    start = jnp.asarray([32, 48], jnp.int32)  # 8 new tokens each
+    positions = start[:, None] + jnp.arange(8)[None, :]
+    scale = 0.125
+    ref = paged_attention_xla(q[:, :8], k, v, bt, cache_lens, positions, scale, page_size=PAGE)
+    out = paged_attention_pallas(
+        q[:, :8], k, v, bt, cache_lens, positions, scale, page_size=PAGE, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
