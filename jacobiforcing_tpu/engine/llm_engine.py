@@ -30,6 +30,7 @@ from jacobiforcing_tpu.engine.scheduler import Scheduler
 from jacobiforcing_tpu.engine.sequence import Sequence, SequenceStatus
 from jacobiforcing_tpu.models.qwen import ModelConfig, rope_table
 from jacobiforcing_tpu.ops.kv_cache import alloc_kv_cache
+from jacobiforcing_tpu.utils.profiling import get_profiler
 
 
 def _bucket(n: int, buckets: PySeq[int]) -> int:
@@ -185,11 +186,18 @@ class LLMEngine:
         prompts_a[: len(seqs)] = prompts_l
 
         bt = self._pad_block_table(seqs, B)
+        prof = get_profiler()
+        if prof:
+            prof.record_bucket("prefill", (B, T, n_out))
+            prof.start("prefill.forward")
         self.kv, last_logits, draft = runner.prefill(
             self.params, self.model_cfg, self.rope, jnp.asarray(ids),
             jnp.asarray(starts_a), jnp.asarray(totals_a), jnp.asarray(prompts_a),
             self.kv, bt, n_out=n_out,
         )
+        if prof:
+            last_logits.block_until_ready()
+            prof.stop("prefill.forward")
         last_logits = np.asarray(last_logits, np.float32)
         draft = np.asarray(draft)
         self.stats["prefill_tokens"] += sum(len(x) for x in suffixes)
@@ -271,12 +279,20 @@ class LLMEngine:
             temps[i] = s.sampling_params.temperature
             active[i] = True
         bt = self._pad_block_table(seqs, B)
+        prof = get_profiler()
+        if prof:
+            prof.record_bucket("ar_decode", (B,))
+            prof.start("forward")
+            prof.add_iteration()
         self.kv, next_tokens = runner.ar_decode_step(
             self.params, self.model_cfg, self.rope, self.kv,
             jnp.asarray(last), jnp.asarray(lens), bt, jnp.asarray(active),
             jnp.asarray(temps), self._next_key(),
         )
         next_tokens = np.asarray(next_tokens)
+        if prof:
+            prof.stop("forward")
+            prof.add_tokens(len(seqs))
         for i, s in enumerate(seqs):
             s.extend_tokens([int(next_tokens[i])])
             s.num_cached_tokens = len(s) - 1
@@ -333,6 +349,12 @@ class LLMEngine:
                     )
 
         bt = self._pad_block_table(seqs, B)
+        prof = get_profiler()
+        if prof:
+            prof.record_bucket(
+                "jacobi_nongreedy" if nongreedy else "jacobi", (B, L)
+            )
+            prof.start("forward")
         if nongreedy:
             res = runner.jacobi_chunk_nongreedy(
                 self.params, self.model_cfg, self.rope, self.kv,
@@ -359,6 +381,10 @@ class LLMEngine:
         iters_out = np.asarray(res["iters"])
         draft_out = np.asarray(res["draft"])
         gen = np.asarray(res["generated"])
+        if prof:
+            prof.stop("forward")
+            prof.add_tokens(int(gen[: len(seqs)].sum()))
+            prof.add_iteration(int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum()))
 
         for i, s in enumerate(seqs):
             new = tokens_out[i, len(s) : cur_out[i]].tolist()
@@ -546,18 +572,53 @@ class LLMEngine:
             self.stats["jacobi_iterations"] += n_it
 
     # ------------------------------------------------------------------
+    def generate_stream(
+        self,
+        prompt_token_ids: List[int],
+        sampling_params: SamplingParams,
+    ):
+        """Stream newly committed tokens per engine step (reference:
+        applications/jacobi_streaming_driver.py per-chunk callbacks).  The
+        Jacobi chunk budget (config.jacobi_chunk_tokens) sets the streaming
+        granularity.  Yields lists of new token ids."""
+        seq = self.add_request(prompt_token_ids, sampling_params)
+        emitted = 0
+        while not seq.is_finished:
+            self.step()
+            new = seq.completion_token_ids[emitted:]
+            if new:
+                emitted += len(new)
+                yield new
+
     def generate(
         self,
         prompt_token_ids: List[List[int]],
         sampling_params: SamplingParams | List[SamplingParams],
+        use_tqdm: bool = False,
     ) -> List[Dict[str, Any]]:
         """Blocking batch generation (reference llm_engine.py:142-202)."""
         if isinstance(sampling_params, SamplingParams):
             sampling_params = [sampling_params] * len(prompt_token_ids)
         seqs = [self.add_request(p, sp) for p, sp in zip(prompt_token_ids, sampling_params)]
         t0 = time.perf_counter()
+        pbar = None
+        if use_tqdm:
+            from tqdm import tqdm
+
+            pbar = tqdm(total=len(seqs), desc="generate")
+        gen0 = self.stats["generated_tokens"]
+        done = 0
         while not self.scheduler.is_finished:
-            self.step()
+            finished = self.step()
+            if pbar is not None:
+                done += len(finished)
+                dt = max(time.perf_counter() - t0, 1e-9)
+                pbar.update(len(finished))
+                pbar.set_postfix(
+                    {"tok/s": f"{(self.stats['generated_tokens'] - gen0) / dt:.1f}"}
+                )
+        if pbar is not None:
+            pbar.close()
         dt = time.perf_counter() - t0
         self.stats["wall_s"] = dt
         outs = []
