@@ -50,6 +50,7 @@ class LLMEngine:
         tokenizer=None,
         num_kv_pages: Optional[int] = None,
         kv_dtype=None,
+        mesh=None,
     ):
         self.config = config
         if params is None:
@@ -58,8 +59,25 @@ class LLMEngine:
             model_cfg, params = load_checkpoint(config.model_path)
         assert model_cfg is not None
         self.model_cfg = model_cfg
-        self.params = params
         self.tokenizer = tokenizer
+
+        # Tensor parallelism: shard params + KV over the ("data", "model")
+        # mesh; XLA compiles the collectives the reference issues by hand
+        # (linear.py:149-153 all_reduce, embed_head.py:34-42) — SURVEY.md §2.7.
+        if mesh is None and config.tensor_parallel_size > 1:
+            from jacobiforcing_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(tensor_parallel_size=config.tensor_parallel_size)
+        self.mesh = mesh
+        if mesh is not None:
+            from jacobiforcing_tpu.parallel.sharding import shard_params
+
+            tp = mesh.shape.get("model", 1)
+            assert model_cfg.num_kv_heads % tp == 0, (
+                f"kv heads {model_cfg.num_kv_heads} not divisible by tp={tp}"
+            )
+            params = shard_params(params, model_cfg, mesh)
+        self.params = params
         if tokenizer is not None and config.eos < 0:
             config.eos = tokenizer.eos_token_id
         self.rope = rope_table(model_cfg)
@@ -72,6 +90,17 @@ class LLMEngine:
             model_cfg.num_layers, npages, page, model_cfg.num_kv_heads,
             model_cfg.head_dim, kv_dtype or model_cfg.dtype,
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from jacobiforcing_tpu.parallel.sharding import kv_cache_spec
+
+            spec = kv_cache_spec()
+            self.kv = type(self.kv)(
+                k=jax.device_put(self.kv.k, NamedSharding(mesh, spec.k)),
+                v=jax.device_put(self.kv.v, NamedSharding(mesh, spec.v)),
+                page_size=self.kv.page_size,
+            )
         self.block_manager = BlockManager(npages, page)
         self.scheduler = Scheduler(config, self.block_manager)
 
