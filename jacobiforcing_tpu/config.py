@@ -64,6 +64,9 @@ class Config:
 
     enforce_eager: bool = False
     seed: int = 0
+    # "" | "int8" — weight-only quantization applied at engine load (halves
+    # HBM weight traffic; fits Qwen2.5-7B on one 16GB v5e chip).
+    quantization: str = ""
 
     # Resolved at engine init.
     model_path: str = field(default="", repr=False)

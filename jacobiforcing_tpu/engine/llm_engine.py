@@ -69,6 +69,10 @@ class LLMEngine:
 
             mesh = make_mesh(tensor_parallel_size=config.tensor_parallel_size)
         self.mesh = mesh
+        if config.quantization == "int8":
+            from jacobiforcing_tpu.ops.quant import quantize_params
+
+            params = quantize_params(params)
         if mesh is not None:
             from jacobiforcing_tpu.parallel.sharding import shard_params
 

@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from jacobiforcing_tpu.models.qwen import ModelConfig, forward_spec, logits_at
+from jacobiforcing_tpu.models.qwen import ModelConfig, forward_spec, greedy_tokens
 from jacobiforcing_tpu.ops.kv_cache import KVCache
 
 
@@ -226,8 +226,7 @@ def jacobi_chunk_multiblock(
             params, cfg, out_tokens[None], out_pos[None], st.kv, block_tables,
             st.cur_len[None], intra[None], rope,
         )
-        logits = logits_at(params, cfg, h[0])  # [T, V]
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(S, N)
+        greedy = greedy_tokens(params, cfg, h[0]).reshape(S, N)  # chunked argmax
 
         # ---- verify: acc = 1 + leading matches of seg[i+1] vs greedy[i] ----
         def seg_acc(tok, g, vlen, shift):

@@ -39,6 +39,7 @@ from jax import lax
 from jacobiforcing_tpu.models.qwen import (
     ModelConfig,
     forward,
+    greedy_tokens,
     logits_at,
 )
 from jacobiforcing_tpu.ops.kv_cache import KVCache
@@ -220,8 +221,8 @@ def jacobi_chunk_greedy(
             params, cfg, state.draft, positions, state.kv, block_tables,
             cache_lens=cache_lens, rope=rope, write_mask=active[:, None].repeat(L, 1),
         )
-        logits = logits_at(params, cfg, h)  # [B, L, V] fp32
-        greedy_full = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, L]
+        # chunked argmax: greedy decode never materializes [B, L, V] logits
+        greedy_full = greedy_tokens(params, cfg, h)  # [B, L]
 
         # ---- verify (jacobi_decoding.py:253-293) ----
         spec = state.draft[:, 1:]  # [B, L-1]

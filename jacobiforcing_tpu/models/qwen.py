@@ -35,6 +35,7 @@ from jax import lax
 
 from jacobiforcing_tpu.ops.attention import paged_attention
 from jacobiforcing_tpu.ops.kv_cache import KVCache, write_kv
+from jacobiforcing_tpu.ops.quant import mm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -255,9 +256,9 @@ def forward(
         w, k_cache_l, v_cache_l = xs
         # h: [B, T, H]
         hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
-        q = hn @ w["wq"]
-        kk = hn @ w["wk"]
-        vv = hn @ w["wv"]
+        q = mm(hn, w["wq"])
+        kk = mm(hn, w["wk"])
+        vv = mm(hn, w["wv"])
         if cfg.qkv_bias:
             q = q + w["bq"]
             kk = kk + w["bk"]
@@ -284,12 +285,12 @@ def forward(
             page_size=page,
         )  # [B, T, NH, D]
 
-        o = o.reshape(B, T, cfg.q_size) @ w["wo"]
+        o = mm(o.reshape(B, T, cfg.q_size), w["wo"])
         h = h + o
         hn = rms_norm(h, w["ln2"], cfg.rms_norm_eps)
-        g = hn @ w["w_gate"]
-        u = hn @ w["w_up"]
-        mlp = (jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u) @ w["w_down"]
+        g = mm(hn, w["w_gate"])
+        u = mm(hn, w["w_up"])
+        mlp = mm(jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u, w["w_down"])
         h = h + mlp
         return h, (k_cache_l, v_cache_l)
 
@@ -329,9 +330,9 @@ def forward_spec(
     def layer_body(h, xs):
         w, k_cache_l, v_cache_l = xs
         hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
-        q = hn @ w["wq"]
-        kk = hn @ w["wk"]
-        vv = hn @ w["wv"]
+        q = mm(hn, w["wq"])
+        kk = mm(hn, w["wk"])
+        vv = mm(hn, w["wv"])
         if cfg.qkv_bias:
             q, kk, vv = q + w["bq"], kk + w["bk"], vv + w["bv"]
         q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
@@ -347,12 +348,12 @@ def forward_spec(
             q, k_cache_l, v_cache_l, block_tables, cache_lens,
             kk, vv, intra_mask, scale, page_size=kv_cache.page_size,
         )
-        o = o.reshape(B, T, cfg.q_size) @ w["wo"]
+        o = mm(o.reshape(B, T, cfg.q_size), w["wo"])
         h = h + o
         hn = rms_norm(h, w["ln2"], cfg.rms_norm_eps)
-        g = hn @ w["w_gate"]
-        u = hn @ w["w_up"]
-        mlp = (jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u) @ w["w_down"]
+        g = mm(hn, w["w_gate"])
+        u = mm(hn, w["w_up"])
+        mlp = mm(jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u, w["w_down"])
         return h + mlp, (kk, vv)
 
     h, (k_new, v_new) = lax.scan(layer_body, x, (lp, kv_cache.k, kv_cache.v))
@@ -390,9 +391,9 @@ def forward_dense(
 
     def layer_body(h, w):
         hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
-        q = hn @ w["wq"]
-        kk = hn @ w["wk"]
-        vv = hn @ w["wv"]
+        q = mm(hn, w["wq"])
+        kk = mm(hn, w["wk"])
+        vv = mm(hn, w["wv"])
         if cfg.qkv_bias:
             q, kk, vv = q + w["bq"], kk + w["bk"], vv + w["bv"]
         q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
@@ -412,12 +413,12 @@ def forward_dense(
         scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         o = jnp.einsum("bhgts,bshd->bthgd", probs, vv)
-        o = o.reshape(B, T, cfg.q_size) @ w["wo"]
+        o = mm(o.reshape(B, T, cfg.q_size), w["wo"])
         h = h + o
         hn = rms_norm(h, w["ln2"], cfg.rms_norm_eps)
-        g = hn @ w["w_gate"]
-        u = hn @ w["w_up"]
-        mlp = (jax.nn.silu(g.astype(acc)).astype(u.dtype) * u) @ w["w_down"]
+        g = mm(hn, w["w_gate"])
+        u = mm(hn, w["w_up"])
+        mlp = mm(jax.nn.silu(g.astype(acc)).astype(u.dtype) * u, w["w_down"])
         return h + mlp, None
 
     h, _ = lax.scan(layer_body, x, lp)
@@ -432,11 +433,64 @@ def logits_at(params: Dict[str, Any], cfg: ModelConfig, hidden: jax.Array) -> ja
     w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
     if cfg.tie_word_embeddings:
         w = w.T
+    if isinstance(w, dict):  # int8 weight-only lm_head
+        y = jnp.dot(
+            hidden, w["q"].astype(cfg.dtype),
+            preferred_element_type=acc_dtype(cfg.dtype),
+        )
+        return y * w["s"].astype(y.dtype)[..., 0, :]
     return jnp.dot(
         hidden, w.astype(cfg.dtype), preferred_element_type=acc_dtype(cfg.dtype)
     )
 
 
-def greedy_tokens(params, cfg, hidden: jax.Array) -> jax.Array:
-    """argmax(lm_head(hidden)) without materializing fp32 logits twice."""
-    return jnp.argmax(logits_at(params, cfg, hidden), axis=-1).astype(jnp.int32)
+def greedy_tokens(
+    params, cfg, hidden: jax.Array, *, vocab_chunk: int = 32768
+) -> jax.Array:
+    """argmax(lm_head(hidden)) over vocab CHUNKS.
+
+    Avoids materializing the full [.., T, V] logits (e.g. 311MB fp32 at
+    B=8, L=64, V=152k per Jacobi iteration): scan over vocab slices keeping a
+    running (max, argmax).  Weights are still read exactly once.
+    """
+    w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    tied = cfg.tie_word_embeddings
+    V = cfg.vocab_size
+    if V <= vocab_chunk:
+        return jnp.argmax(logits_at(params, cfg, hidden), axis=-1).astype(jnp.int32)
+
+    n_chunks = (V + vocab_chunk - 1) // vocab_chunk
+    acc = acc_dtype(cfg.dtype)
+
+    def body(carry, c):
+        best, best_idx = carry
+        # clamp so the final partial chunk overlaps the previous one instead of
+        # reading out of bounds (indices stay true columns; max is idempotent)
+        start = jnp.minimum(c * vocab_chunk, V - vocab_chunk)
+        if isinstance(w, dict):
+            wq = lax.dynamic_slice_in_dim(w["q"], start, vocab_chunk, axis=-1)
+            ws = lax.dynamic_slice_in_dim(w["s"], start, vocab_chunk, axis=-1)
+            logits = jnp.dot(hidden, wq.astype(cfg.dtype), preferred_element_type=acc)
+            logits = logits * ws.astype(logits.dtype)[..., 0, :]
+        else:
+            if tied:
+                wc = lax.dynamic_slice_in_dim(w, start, vocab_chunk, axis=0).T
+            else:
+                wc = lax.dynamic_slice_in_dim(w, start, vocab_chunk, axis=-1)
+            logits = jnp.dot(hidden, wc.astype(cfg.dtype), preferred_element_type=acc)
+        # mask columns beyond V (dynamic_slice clamps -> duplicated tail cols)
+        col = start + jnp.arange(vocab_chunk, dtype=jnp.int32)
+        logits = jnp.where(col < V, logits, -jnp.inf)
+        cmax = jnp.max(logits, axis=-1)
+        cidx = start + jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        take = cmax > best
+        return (jnp.where(take, cmax, best), jnp.where(take, cidx, best_idx)), None
+
+    init = (
+        jnp.full(hidden.shape[:-1], -jnp.inf, acc),
+        jnp.zeros(hidden.shape[:-1], jnp.int32),
+    )
+    (best, best_idx), _ = lax.scan(
+        body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return best_idx

@@ -84,8 +84,23 @@ def decode_state_specs() -> Dict[str, Any]:
 
 
 def shard_params(params: Dict[str, Any], cfg: ModelConfig, mesh: Mesh, *, fsdp=False):
-    """device_put the param pytree with its NamedShardings."""
+    """device_put the param pytree with its NamedShardings.
+
+    Handles int8 weight-only leaves ({"q": int8, "s": scale}): q follows the
+    weight spec, the per-out-channel scale follows the spec's output axis.
+    """
     specs = param_specs(cfg, fsdp=fsdp)
+
+    def put(x, s):
+        if isinstance(x, dict) and "q" in x:  # quantized leaf
+            parts = list(s) + [None] * (x["q"].ndim - len(s))
+            s_scale = P(*(parts[:-2] + [None, parts[-1]]))
+            return {
+                "q": jax.device_put(x["q"], NamedSharding(mesh, s)),
+                "s": jax.device_put(x["s"], NamedSharding(mesh, s_scale)),
+            }
+        return jax.device_put(x, NamedSharding(mesh, s))
+
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        put, params, specs, is_leaf=lambda x: isinstance(x, dict) and "q" in x
     )

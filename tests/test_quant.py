@@ -1,0 +1,77 @@
+"""INT8 weight-only quantization tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jacobiforcing_tpu.config import SamplingParams
+from jacobiforcing_tpu.models.qwen import ModelConfig, init_params, greedy_tokens, logits_at
+from jacobiforcing_tpu.ops.quant import mm, quantize_params, quantize_tensor
+from tests.test_engine import make_engine, make_prompts
+
+
+def test_quantize_roundtrip_error():
+    r = np.random.RandomState(0)
+    w = jnp.asarray(r.randn(4, 64, 32), jnp.float32)
+    qd = quantize_tensor(w)
+    assert qd["q"].dtype == jnp.int8
+    deq = qd["q"].astype(jnp.float32) * qd["s"].astype(jnp.float32)
+    rel = float(jnp.max(jnp.abs(deq - w)) / jnp.max(jnp.abs(w)))
+    assert rel < 0.01  # int8 symmetric: <= scale/2 per element
+    x = jnp.asarray(r.randn(5, 64), jnp.float32)
+    qd0 = {"q": qd["q"][0], "s": qd["s"][0]}  # per-layer slice as used in scan
+    np.testing.assert_allclose(
+        np.asarray(mm(x, qd0)), np.asarray(x @ deq[0]), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_chunked_greedy_matches_full():
+    cfg = ModelConfig.tiny(vocab_size=300)  # > chunk when vocab_chunk small
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    h = jax.random.normal(jax.random.PRNGKey(1), (3, 5, cfg.hidden_size), cfg.dtype)
+    full = jnp.argmax(logits_at(params, cfg, h), axis=-1).astype(jnp.int32)
+    chunked = greedy_tokens(params, cfg, h, vocab_chunk=128)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
+
+
+def test_chunked_greedy_tied_embeddings():
+    cfg = ModelConfig.tiny(vocab_size=300, tie_word_embeddings=True)
+    params = init_params(cfg, jax.random.PRNGKey(2))
+    h = jax.random.normal(jax.random.PRNGKey(3), (4, cfg.hidden_size), cfg.dtype)
+    full = jnp.argmax(logits_at(params, cfg, h), axis=-1).astype(jnp.int32)
+    chunked = greedy_tokens(params, cfg, h, vocab_chunk=128)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
+
+
+def test_int8_engine_generates_close_to_fp():
+    """INT8 engine must run all strategies; outputs may differ slightly from
+    full precision (quantization noise) but must be valid and full length."""
+    prompts = make_prompts(256)[:2]
+    eng = make_engine(quantization="int8")
+    for sp in [
+        SamplingParams(temperature=0.0, max_tokens=16),
+        SamplingParams(temperature=0.0, max_tokens=16, decode_strategy="jacobi",
+                       jacobi_block_len=8, jacobi_max_blocks=1),
+        SamplingParams(temperature=0.0, max_tokens=16,
+                       decode_strategy="jacobi_multiblock_rejection_recycling",
+                       jacobi_block_len=8, jacobi_max_blocks=2),
+    ]:
+        outs = eng.generate(prompts, sp)
+        for o in outs:
+            assert len(o["token_ids"]) == 16
+            assert all(0 <= t < 256 for t in o["token_ids"])
+
+
+def test_int8_jacobi_equals_int8_ar():
+    """Within the quantized model, Jacobi greedy must still equal AR greedy."""
+    prompts = make_prompts(256)[:2]
+    ar = make_engine(quantization="int8").generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=20)
+    )
+    ja = make_engine(quantization="int8").generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=20, decode_strategy="jacobi",
+                       jacobi_block_len=8, jacobi_max_blocks=1),
+    )
+    for a, j in zip(ar, ja):
+        assert a["token_ids"] == j["token_ids"]
