@@ -16,6 +16,7 @@ Decode dispatch:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, List, Optional, Sequence as PySeq
 
@@ -105,7 +106,19 @@ class LLMEngine:
                 v=jax.device_put(self.kv.v, NamedSharding(mesh, spec.v)),
                 page_size=self.kv.page_size,
             )
-        self.block_manager = BlockManager(npages, page)
+        # Native C++ block manager when available (JF_NATIVE_BM=0 disables)
+        self.block_manager = None
+        if os.environ.get("JF_NATIVE_BM", "1") != "0":
+            try:
+                from jacobiforcing_tpu.engine.native_block_manager import (
+                    NativeBlockManager,
+                )
+
+                self.block_manager = NativeBlockManager(npages, page)
+            except Exception:
+                self.block_manager = None
+        if self.block_manager is None:
+            self.block_manager = BlockManager(npages, page)
         self.scheduler = Scheduler(config, self.block_manager)
 
         self.rng = np.random.RandomState(config.seed)
