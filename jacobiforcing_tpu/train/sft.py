@@ -66,11 +66,16 @@ def make_sft_train_step(cfg: ModelConfig, mesh: Mesh, optimizer=None):
         )
         return params, optimizer.init(params)
 
+    dp = mesh.shape.get("data", 1)
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params, opt_state, rope, input_ids, loss_mask):
-        input_ids = jax.lax.with_sharding_constraint(
-            input_ids, NamedSharding(mesh, P("data", None))
-        )
+        if input_ids.shape[0] % dp == 0:
+            # data-parallel batch sharding (a non-divisible batch would crash
+            # the SPMD partitioner; leave it replicated instead)
+            input_ids = jax.lax.with_sharding_constraint(
+                input_ids, NamedSharding(mesh, P("data", None))
+            )
         loss, grads = jax.value_and_grad(sft_loss)(
             params, cfg, rope, input_ids, loss_mask
         )
