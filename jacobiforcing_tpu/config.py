@@ -67,6 +67,9 @@ class Config:
     # "" | "int8" — weight-only quantization applied at engine load (halves
     # HBM weight traffic; fits Qwen2.5-7B on one 16GB v5e chip).
     quantization: str = ""
+    # "" (model dtype) | "fp8" (float8_e4m3) — KV cache storage dtype; halves
+    # KV HBM so the page pool holds 2x the context (build plan step 4c).
+    kv_cache_dtype: str = ""
 
     # Resolved at engine init.
     model_path: str = field(default="", repr=False)

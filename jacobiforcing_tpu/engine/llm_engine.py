@@ -87,6 +87,11 @@ class LLMEngine:
             config.eos = tokenizer.eos_token_id
         self.rope = rope_table(model_cfg)
 
+        if kv_dtype is None and config.kv_cache_dtype:
+            kv_dtype = {
+                "fp8": jnp.float8_e4m3fn,
+                "bf16": jnp.bfloat16,
+            }[config.kv_cache_dtype]
         page = config.kvcache_page_size
         npages = num_kv_pages or (config.num_kv_pages if config.num_kv_pages > 0 else None)
         if npages is None:

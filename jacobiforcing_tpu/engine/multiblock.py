@@ -274,8 +274,8 @@ def jacobi_chunk_multiblock(
                           st.kv.num_slots)
         rows = w * N + jN
         # stash [Lyr, 1, T, KH, D] -> winner rows [Lyr, N, KH, D] -> head-major
-        kw = k_new[:, 0, rows].transpose(0, 2, 1, 3)  # [Lyr, KH, N, D]
-        vw = v_new[:, 0, rows].transpose(0, 2, 1, 3)
+        kw = k_new[:, 0, rows].transpose(0, 2, 1, 3).astype(st.kv.k.dtype)  # [Lyr, KH, N, D]
+        vw = v_new[:, 0, rows].transpose(0, 2, 1, 3).astype(st.kv.v.dtype)
         new_k = st.kv.k.at[:, :, slots].set(kw, mode="drop")
         new_v = st.kv.v.at[:, :, slots].set(vw, mode="drop")
         kv2 = KVCache(new_k, new_v, page)

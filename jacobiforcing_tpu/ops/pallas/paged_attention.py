@@ -99,8 +99,8 @@ def _kernel(
         for dma in kv_dma(slot, p):
             dma.wait()
 
-        k = kbuf[slot]  # [PAGE, D]
-        v = vbuf[slot]
+        k = kbuf[slot].astype(q.dtype)  # [PAGE, D] (cast covers f8/int8 KV)
+        v = vbuf[slot].astype(q.dtype)
         s = lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -115,7 +115,7 @@ def _kernel(
         p_ij = jnp.exp(s - m_new)
         l_new = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
         acc[...] = acc[...] * alpha + lax.dot_general(
-            p_ij.astype(v.dtype), v,
+            p_ij.astype(q.dtype), v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -75,3 +75,31 @@ def test_int8_jacobi_equals_int8_ar():
     )
     for a, j in zip(ar, ja):
         assert a["token_ids"] == j["token_ids"]
+
+
+def test_fp8_kv_cache():
+    """fp8 KV storage: Jacobi must still equal AR exactly within the fp8
+    engine (same cache dtype on both paths), and the engine runs MR too."""
+    import jax.numpy as jnp
+
+    prompts = make_prompts(256)[:2]
+    ar = make_engine(kv_cache_dtype="fp8").generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=16)
+    )
+    eng = make_engine(kv_cache_dtype="fp8")
+    assert eng.kv.k.dtype == jnp.float8_e4m3fn
+    ja = eng.generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=16, decode_strategy="jacobi",
+                       jacobi_block_len=8, jacobi_max_blocks=1),
+    )
+    for a, j in zip(ar, ja):
+        assert a["token_ids"] == j["token_ids"]
+    mr = make_engine(kv_cache_dtype="fp8").generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=16,
+                       decode_strategy="jacobi_multiblock_rejection_recycling",
+                       jacobi_block_len=8, jacobi_max_blocks=2),
+    )
+    for a, m in zip(ar, mr):
+        assert a["token_ids"] == m["token_ids"]
