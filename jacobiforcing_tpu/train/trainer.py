@@ -84,6 +84,21 @@ class JacobianDataset:
         }
 
 
+def _wandb_log(metrics: Dict[str, float]) -> None:
+    """wandb train-loss logging when WANDB_PROJECT is set (reference
+    soft_flexattn_cllm_trainer.py:557-559); silently skipped otherwise."""
+    if not os.environ.get("WANDB_PROJECT"):
+        return
+    try:
+        import wandb
+
+        if wandb.run is None:
+            wandb.init(project=os.environ["WANDB_PROJECT"])
+        wandb.log(metrics)
+    except Exception:
+        pass
+
+
 def latest_checkpoint(output_dir: str) -> Optional[str]:
     if not os.path.isdir(output_dir):
         return None
@@ -200,6 +215,7 @@ def train(
                 m["steps_per_s"] = step / max(time.perf_counter() - t0, 1e-9)
                 history.append(m)
                 log_fn(f"[train] {m}")
+                _wandb_log(m)
             if args.save_steps > 0 and step % args.save_steps == 0:
                 save_train_checkpoint(
                     os.path.join(args.output_dir, f"checkpoint-{step}"),

@@ -140,3 +140,33 @@ def test_end_to_end_collect_pack_train():
         }
         params, opt_state, metrics = step(params, opt_state, rope, batch)
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dataset_tools(tmp_path):
+    from jacobiforcing_tpu.data.tools import (
+        debug_decode_packed_row, merge_jsonl, profile_trajectory_dataset,
+    )
+    import json
+
+    fixed = list(range(100, 100 + N))
+    rows = [
+        {"data_id": "data_0", "diffusion_itr_id": "itr_0",
+         "prompt_ids": [1, 2], "answer_trajectory_ids": _traj(fixed, [6, 3])},
+    ]
+    prof = profile_trajectory_dataset(rows)
+    assert prof["rows"] == 1 and prof["unique_data_ids"] == 1
+    assert prof["iterations_per_block"]["mean"] == 3.0
+    assert prof["initial_noise_ratio"]["mean"] == 0.75  # 6/8 noisy
+
+    # merge
+    for i in range(2):
+        with open(tmp_path / f"shard{i}.jsonl", "w") as f:
+            f.write(json.dumps(rows[0]) + "\n")
+    n = merge_jsonl([str(tmp_path / "shard*.jsonl")], str(tmp_path / "all.jsonl"))
+    assert n == 2
+
+    # debug decode of packed rows
+    packed = pack_trajectories(rows, N, window_size=2)
+    pairs = debug_decode_packed_row(packed[0], N)
+    assert pairs[0]["last"] == fixed
+    assert 0.0 <= pairs[0]["noise_ratio"] <= 1.0
