@@ -368,12 +368,16 @@ def forward_dense(
     positions: jax.Array,  # [B, T] (shared RoPE positions for k_j/last_j packing)
     rope: Tuple[jax.Array, jax.Array],
     attn_mask: Optional[jax.Array] = None,  # [B, T, T] bool, True = visible
+    splash_spec: Optional[tuple] = None,  # static layout -> block-sparse kernel
 ) -> jax.Array:
     """Training-path forward: dense attention, no KV cache.
 
     `attn_mask` carries the packed-trajectory block mask of the consistency
     trainer (reference: soft_flexattn_cllm_trainer.py:220-286, FlexAttention
-    create_block_mask); None = plain causal.  Returns hidden [B, T, H].
+    create_block_mask); None = plain causal.  With `splash_spec` =
+    (prompt_len, T_pairs, seq_len, N, variant, window, interpret) the mask is
+    instead realized as a block-sparse splash-attention kernel (bs must be 1).
+    Returns hidden [B, T, H].
     """
     B, T = input_ids.shape
     x = params["embed"].astype(cfg.dtype)[input_ids]
@@ -388,6 +392,22 @@ def forward_dense(
     lp = params["layers"]
     scale = 1.0 / math.sqrt(cfg.head_dim)
     groups = cfg.num_heads // cfg.num_kv_heads
+
+    _splash = _splash_kernel = None
+    if splash_spec is not None:
+        from jacobiforcing_tpu.ops.pallas.train_attention import (
+            make_train_attention_kernel,
+            splash_train_attention as _splash,
+        )
+
+        p_len, t_pairs, seq_len, n_blk, variant, window, interp = splash_spec
+        assert B == 1, "splash training attention packs one sequence per step"
+        # built once per trace, OUTSIDE the layer scan (a cached kernel built
+        # inside the scan body leaks tracers)
+        _splash_kernel = make_train_attention_kernel(
+            T, p_len, t_pairs, seq_len, n_blk, variant, window,
+            cfg.num_heads, interp,
+        )
 
     def layer_body(h, w):
         hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
@@ -406,13 +426,20 @@ def forward_dense(
         kk = apply_rope(kk, cos, sin)
 
         acc = acc_dtype(q.dtype)
-        qg = q.reshape(B, T, cfg.num_kv_heads, groups, cfg.head_dim)
-        scores = jnp.einsum("bthgd,bshd->bhgts", qg, kk, preferred_element_type=acc)
-        scores = scores * scale
-        mask = attn_mask[:, None, None, :, :]
-        scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        o = jnp.einsum("bhgts,bshd->bthgd", probs, vv)
+        if splash_spec is not None:
+            o = _splash(
+                q[0], kk[0], vv[0], _splash_kernel,
+                prompt_len=p_len, T_pairs=t_pairs, seq_len=seq_len, N=n_blk,
+                variant=variant, window_size=window, interpret=interp,
+            )[None]
+        else:
+            qg = q.reshape(B, T, cfg.num_kv_heads, groups, cfg.head_dim)
+            scores = jnp.einsum("bthgd,bshd->bhgts", qg, kk, preferred_element_type=acc)
+            scores = scores * scale
+            mask = attn_mask[:, None, None, :, :]
+            scores = jnp.where(mask, scores, -1e30)
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            o = jnp.einsum("bhgts,bshd->bthgd", probs, vv)
         o = mm(o.reshape(B, T, cfg.q_size), w["wo"])
         h = h + o
         hn = rms_norm(h, w["ln2"], cfg.rms_norm_eps)

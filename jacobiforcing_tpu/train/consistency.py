@@ -64,6 +64,12 @@ class TrainConfig:
     seq_bucket: int = 1024  # L bucket
     ar_pair_bucket: int = 1024
     cons_pair_bucket: int = 1024
+    # "dense" = [L, L] mask attention (research scale);
+    # "splash" = block-sparse flash attention (16k production packs) —
+    # compiles per (prompt_len, T, seq_len) like the reference's FlexAttention
+    # blockmask cache (trainer:32-34); bucket prompt lengths.
+    attn_impl: str = "dense"
+    splash_interpret: bool = False  # interpret-mode kernels (CPU tests)
 
 
 # ---------------------------------------------------------------------------
@@ -243,16 +249,24 @@ def consistency_losses(
     tc: TrainConfig,
     rope,
     batch: Dict[str, jax.Array],
+    static_layout: Optional[Tuple[int, int, int]] = None,  # (prompt_len, T, seq_len)
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Forward one packed sample (bs=1 like the reference) and compute losses."""
     ids = batch["input_ids"][None, :]  # [1, L]
     L = ids.shape[1]
-    mask = build_train_mask(
-        L, batch["prompt_len"], batch["T"], batch["seq_len"], tc.N,
-        tc.variant, tc.window_size,
-    )[None]
     pos = shared_position_ids(L, batch["prompt_len"], tc.N)[None]
-    h = forward_dense(params, cfg, ids, pos, rope, mask)[0]  # [L, H]
+    if tc.attn_impl == "splash":
+        assert static_layout is not None, "splash attention needs a static layout"
+        p_len, t_pairs, seq_len = static_layout
+        spec = (p_len, t_pairs, seq_len, tc.N, tc.variant, tc.window_size,
+                tc.splash_interpret)
+        h = forward_dense(params, cfg, ids, pos, rope, splash_spec=spec)[0]
+    else:
+        mask = build_train_mask(
+            L, batch["prompt_len"], batch["T"], batch["seq_len"], tc.N,
+            tc.variant, tc.window_size,
+        )[None]
+        h = forward_dense(params, cfg, ids, pos, rope, mask)[0]  # [L, H]
 
     # AR loss (x ar_weight)
     h_ar = h[batch["ar_p"]]  # [Ka, H]
@@ -287,12 +301,15 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh=None,
 ):
-    """Jitted (params, opt_state, rope, batch) -> (params, opt_state, metrics)."""
+    """Jitted (params, opt_state, rope, batch[, static_layout]) ->
+    (params, opt_state, metrics).  `static_layout` is required (and triggers a
+    compile per distinct value) only with tc.attn_impl == "splash"."""
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, rope, batch):
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
+    def step(params, opt_state, rope, batch, static_layout=None):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: consistency_losses(p, cfg, tc, rope, batch), has_aux=True
+            lambda p: consistency_losses(p, cfg, tc, rope, batch, static_layout),
+            has_aux=True,
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -41,6 +41,7 @@ class TrainerArgs:
     max_new_tokens: int = 32  # N
     variant: str = "single"
     window_size: int = 4
+    attn_impl: str = "dense"  # "splash" for block-sparse 16k-scale packs
     learning_rate: float = 1e-5
     min_lr_ratio: float = 0.05  # cosine floor (reference: 1e-5 -> 5e-7)
     warmup_steps: int = 10
@@ -177,6 +178,7 @@ def train(
         ar_weight=10.0 if args.variant == "single" else 1.0,
         distill_temperature=args.distill_temperature,
         seq_bucket=args.seq_bucket,
+        attn_impl=args.attn_impl,
     )
     step_fn = make_train_step(model_cfg, tc, optimizer)
     opt_state = optimizer.init(params)
@@ -207,7 +209,11 @@ def train(
                 eos_id=eos_id, pad_id=pad_id,
             )
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-            params, opt_state, metrics = step_fn(params, opt_state, rope, batch)
+            layout = (
+                (int(batch_np["prompt_len"]), int(batch_np["T"]), int(batch_np["seq_len"]))
+                if tc.attn_impl == "splash" else None
+            )
+            params, opt_state, metrics = step_fn(params, opt_state, rope, batch, layout)
             step += 1
             if step % args.log_steps == 0 or step == n_total:
                 m = {k: float(v) for k, v in metrics.items()}
