@@ -26,7 +26,7 @@ import csv
 import json
 import os
 import time
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -14,8 +14,6 @@ import argparse
 import csv
 import itertools
 import os
-from typing import List
-
 from jacobiforcing_tpu.apps import bench_generate
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import glob as globlib
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, Dict, Iterable, List
 
 import numpy as np
 

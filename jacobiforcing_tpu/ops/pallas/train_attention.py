@@ -14,7 +14,6 @@ and cached (trainer:32-34) — bucket prompt lengths to bound compiles.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import numpy as np

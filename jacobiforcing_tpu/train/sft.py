@@ -10,19 +10,14 @@ analog of the reference's DeepSpeed ZeRO-3 setup, scripts/train/ds_config.json).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from jacobiforcing_tpu.models.qwen import (
-    ModelConfig,
-    forward_dense,
-    logits_at,
-    rope_table,
-)
+from jacobiforcing_tpu.models.qwen import ModelConfig, forward_dense, logits_at
 from jacobiforcing_tpu.parallel.sharding import param_specs
 
 
