@@ -71,3 +71,13 @@ class LLM:
     @property
     def stats(self):
         return self.engine.stats
+
+    def exit(self) -> None:
+        self.engine.exit()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.exit()
+        return False

@@ -146,13 +146,26 @@ class LLMEngine:
             2 * mc.num_layers * mc.num_kv_heads * mc.head_dim
             * jnp.dtype(kv_dtype).itemsize
         )
+        avail = None
         try:
             dev = jax.devices()[0]
-            free = dev.memory_stats().get("bytes_limit", 8 << 30) * self.config.hbm_utilization
-            used = dev.memory_stats().get("bytes_in_use", 0)
-            avail = max(free - used, 1 << 28)
+            stats = dev.memory_stats()
+            if stats:
+                free = stats.get("bytes_limit", 8 << 30) * self.config.hbm_utilization
+                used = stats.get("bytes_in_use", 0)
+                avail = max(free - used, 1 << 28)
         except Exception:
-            avail = 4 << 30
+            pass
+        if avail is None:
+            # memory_stats unavailable (e.g. tunneled backends): assume a 16GB
+            # chip minus the resident params and a 2GB workspace reserve
+            param_bytes = sum(
+                x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params)
+            )
+            avail = max(
+                int((16 << 30) * self.config.hbm_utilization) - param_bytes - (2 << 30),
+                1 << 28,
+            )
         npages = int(avail // (bytes_per_tok * page))
         return max(16, min(npages, 40_000))  # reference's 40k hard cap
 
@@ -621,6 +634,20 @@ class LLMEngine:
             })
             self.stats["generated_tokens"] += len(new)
             self.stats["jacobi_iterations"] += n_it
+
+    # ------------------------------------------------------------------
+    def exit(self) -> None:
+        """Release device buffers (reference LLMEngine.exit joins workers and
+        unlinks SharedMemory, llm_engine.py:59-78 — here just the KV pool)."""
+        self.kv = None
+        self.params = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.exit()
+        return False
 
     # ------------------------------------------------------------------
     def generate_stream(

@@ -361,18 +361,30 @@ def jacobi_chunk_nongreedy(
             params, cfg, state.draft, positions, state.kv, block_tables,
             cache_lens=cache_lens, rope=rope, write_mask=active[:, None].repeat(L, 1),
         )
-        logits = logits_at(params, cfg, h)  # [B, L, V] fp32
-        greedy_full = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
         key, k_u, k_bonus, k_pad = jax.random.split(state.key, 4)
+        spec = state.draft[:, 1:]  # [B, L-1] proposed tokens
 
         # ---- stochastic verify ----
-        probs = target_probs(
-            logits[:, : L - 1, :], temperature[:, None],
-            top_k=top_k, top_p=top_p[:, None] if use_top_p else None,
-        )  # [B, L-1, V]
-        spec = state.draft[:, 1:]  # [B, L-1] proposed tokens
-        p_x = jnp.take_along_axis(probs, spec[..., None], axis=-1)[..., 0]
+        if top_k <= 0 and not use_top_p:
+            # memory-light path: acceptance only needs p(drafted token) —
+            # chunked logsumexp, no [B, L, V] logits/probs materialization
+            from jacobiforcing_tpu.models.qwen import chunked_token_logprob
+
+            p_x = jnp.exp(
+                chunked_token_logprob(
+                    params, cfg, h[:, : L - 1, :], spec, temperature[:, None]
+                )
+            )
+            greedy_full = greedy_tokens(params, cfg, h)
+        else:
+            logits = logits_at(params, cfg, h)  # [B, L, V] fp32
+            greedy_full = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            probs = target_probs(
+                logits[:, : L - 1, :], temperature[:, None],
+                top_k=top_k, top_p=top_p[:, None] if use_top_p else None,
+            )  # [B, L-1, V]
+            p_x = jnp.take_along_axis(probs, spec[..., None], axis=-1)[..., 0]
+
         u = jax.random.uniform(k_u, (B, L - 1))
         accept = u < p_x
         n_acc = jnp.sum(
@@ -382,11 +394,18 @@ def jacobi_chunk_nongreedy(
 
         # bonus ~ p_t(. | != proposed) at the rejection position
         t_rej = jnp.minimum(n_acc, L - 2)
-        probs_rej = jnp.take_along_axis(
-            probs, t_rej[:, None, None], axis=1
-        )[:, 0, :]  # [B, V]
         proposed_rej = jnp.take_along_axis(spec, t_rej[:, None], axis=1)[:, 0]
-        logp = jnp.log(jnp.maximum(probs_rej, 1e-30))
+        if top_k <= 0 and not use_top_p:
+            # full distribution needed only at ONE position per row
+            h_rej = jnp.take_along_axis(h, t_rej[:, None, None], axis=1)[:, 0]
+            logp = logits_at(params, cfg, h_rej) / jnp.maximum(
+                temperature, 1e-6
+            )[:, None]
+        else:
+            probs_rej = jnp.take_along_axis(
+                probs, t_rej[:, None, None], axis=1
+            )[:, 0, :]  # [B, V]
+            logp = jnp.log(jnp.maximum(probs_rej, 1e-30))
         gumbel = -jnp.log(-jnp.log(jax.random.uniform(k_bonus, logp.shape) + 1e-10) + 1e-10)
         z = logp + gumbel
         z = z.at[jnp.arange(B), proposed_rej].set(-jnp.inf)

@@ -471,6 +471,73 @@ def logits_at(params: Dict[str, Any], cfg: ModelConfig, hidden: jax.Array) -> ja
     )
 
 
+def chunked_token_logprob(
+    params,
+    cfg,
+    hidden: jax.Array,  # [..., H]
+    tokens: jax.Array,  # [...] token whose log-prob is needed
+    temperature: jax.Array,  # [...] > 0 (broadcast)
+    *,
+    vocab_chunk: int = 32768,
+) -> jax.Array:
+    """log p(token | hidden) at `temperature` WITHOUT materializing [..., V]
+    logits: scans vocab chunks keeping an online logsumexp + the target
+    token's logit.  Memory-efficient verify for the rejection-sampling
+    decoder (the acceptance probability only needs p(drafted token))."""
+    w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    tied = cfg.tie_word_embeddings
+    V = cfg.vocab_size
+    acc = acc_dtype(cfg.dtype)
+    t = jnp.maximum(temperature.astype(acc), 1e-6)
+    if V <= vocab_chunk:
+        logits = logits_at(params, cfg, hidden) / t[..., None]
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        lx = jnp.take_along_axis(logits, tokens[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return lx - lse
+
+    n_chunks = (V + vocab_chunk - 1) // vocab_chunk
+
+    def body(carry, c):
+        m, s, lx = carry
+        start = jnp.minimum(c * vocab_chunk, V - vocab_chunk)
+        if isinstance(w, dict):
+            wq = lax.dynamic_slice_in_dim(w["q"], start, vocab_chunk, axis=-1)
+            ws = lax.dynamic_slice_in_dim(w["s"], start, vocab_chunk, axis=-1)
+            logits = jnp.dot(hidden, wq.astype(cfg.dtype), preferred_element_type=acc)
+            logits = logits * ws.astype(logits.dtype)[..., 0, :]
+        else:
+            if tied:
+                wc = lax.dynamic_slice_in_dim(w, start, vocab_chunk, axis=0).T
+            else:
+                wc = lax.dynamic_slice_in_dim(w, start, vocab_chunk, axis=-1)
+            logits = jnp.dot(hidden, wc.astype(cfg.dtype), preferred_element_type=acc)
+        logits = logits / t[..., None]
+        # exclude clamp-overlap duplicates and out-of-vocab columns
+        col = start + jnp.arange(vocab_chunk, dtype=jnp.int32)
+        ok = (col >= c * vocab_chunk) & (col < V)
+        logits = jnp.where(ok, logits, -jnp.inf)
+        cm = jnp.max(logits, axis=-1)
+        m_new = jnp.maximum(m, cm)
+        scale_old = jnp.exp(m - m_new)
+        s_new = s * scale_old + jnp.sum(jnp.exp(logits - m_new[..., None]), axis=-1)
+        # gather by UNCLAMPED chunk ownership (the clamp-overlap columns are
+        # -inf-masked in this chunk; their owner chunk already gathered them)
+        in_chunk = (tokens >= c * vocab_chunk) & (tokens < (c + 1) * vocab_chunk) & (tokens < V)
+        idx = jnp.clip(tokens - start, 0, vocab_chunk - 1).astype(jnp.int32)
+        val = jnp.take_along_axis(logits, idx[..., None], axis=-1)[..., 0]
+        lx = jnp.where(in_chunk, val, lx)
+        return (m_new, s_new, lx), None
+
+    shape = hidden.shape[:-1]
+    init = (
+        jnp.full(shape, -jnp.inf, acc),
+        jnp.zeros(shape, acc),
+        jnp.full(shape, -jnp.inf, acc),
+    )
+    (m, s, lx), _ = lax.scan(body, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    return lx - (m + jnp.log(jnp.maximum(s, 1e-30)))
+
+
 def greedy_tokens(
     params, cfg, hidden: jax.Array, *, vocab_chunk: int = 32768
 ) -> jax.Array:

@@ -103,3 +103,21 @@ def test_fp8_kv_cache():
     )
     for a, m in zip(ar, mr):
         assert a["token_ids"] == m["token_ids"]
+
+
+def test_chunked_token_logprob_matches_full():
+    import jax.numpy as jnp
+    from jacobiforcing_tpu.models.qwen import chunked_token_logprob, logits_at
+
+    cfg = ModelConfig.tiny(vocab_size=300)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 5, cfg.hidden_size), cfg.dtype)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (2, 5), 0, 300, jnp.int32)
+    temp = jnp.asarray([[0.7], [1.3]])
+
+    full = logits_at(params, cfg, h) / temp[..., None]
+    want = jnp.take_along_axis(
+        jax.nn.log_softmax(full, axis=-1), toks[..., None], axis=-1
+    )[..., 0]
+    got = chunked_token_logprob(params, cfg, h, toks, temp, vocab_chunk=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
