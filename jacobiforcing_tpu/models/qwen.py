@@ -369,6 +369,7 @@ def forward_dense(
     rope: Tuple[jax.Array, jax.Array],
     attn_mask: Optional[jax.Array] = None,  # [B, T, T] bool, True = visible
     splash_spec: Optional[tuple] = None,  # static layout -> block-sparse kernel
+    remat: bool = False,  # rematerialize layer activations on backward
 ) -> jax.Array:
     """Training-path forward: dense attention, no KV cache.
 
@@ -448,7 +449,13 @@ def forward_dense(
         mlp = mm(jax.nn.silu(g.astype(acc)).astype(u.dtype) * u, w["w_down"])
         return h + mlp, None
 
-    h, _ = lax.scan(layer_body, x, lp)
+    body = layer_body
+    if remat:
+        # trade FLOPs for memory: recompute each layer's activations in the
+        # backward pass (the ZeRO-3 + gradient-checkpointing training regime
+        # of the reference, scripts/train/train_jacobi_forcing_coder_n32.sh)
+        body = jax.checkpoint(layer_body, prevent_cse=False)
+    h, _ = lax.scan(body, x, lp)
     return rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
 
 

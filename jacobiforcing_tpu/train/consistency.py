@@ -70,6 +70,7 @@ class TrainConfig:
     # blockmask cache (trainer:32-34); bucket prompt lengths.
     attn_impl: str = "dense"
     splash_interpret: bool = False  # interpret-mode kernels (CPU tests)
+    remat: bool = False  # gradient checkpointing over layers
 
 
 # ---------------------------------------------------------------------------
@@ -260,13 +261,14 @@ def consistency_losses(
         p_len, t_pairs, seq_len = static_layout
         spec = (p_len, t_pairs, seq_len, tc.N, tc.variant, tc.window_size,
                 tc.splash_interpret)
-        h = forward_dense(params, cfg, ids, pos, rope, splash_spec=spec)[0]
+        h = forward_dense(params, cfg, ids, pos, rope, splash_spec=spec,
+                          remat=tc.remat)[0]
     else:
         mask = build_train_mask(
             L, batch["prompt_len"], batch["T"], batch["seq_len"], tc.N,
             tc.variant, tc.window_size,
         )[None]
-        h = forward_dense(params, cfg, ids, pos, rope, mask)[0]  # [L, H]
+        h = forward_dense(params, cfg, ids, pos, rope, mask, remat=tc.remat)[0]
 
     # AR loss (x ar_weight)
     h_ar = h[batch["ar_p"]]  # [Ka, H]
