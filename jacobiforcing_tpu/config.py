@@ -121,6 +121,10 @@ class SamplingParams:
     # Emit training rollout records instead of plain generations
     # (reference: jacobi_decoding_nongreedy_on_policy.py).
     jacobi_on_policy: bool = False
+    # On-policy collection acceptance: 0 = rejection sampling; > 0 accepts a
+    # drafted token deterministically when p(x) >= threshold (the reference's
+    # nongreedy trajectory collector, qwen2_modeling_..._nongreedy_blk32.py:130).
+    jacobi_accept_threshold: float = 0.0
 
     def __post_init__(self):
         assert self.temperature >= 0.0

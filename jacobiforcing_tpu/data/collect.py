@@ -32,6 +32,7 @@ def collect_trajectories(
     temperature: float = 0.0,
     top_k: int = -1,
     top_p: float = 1.0,
+    accept_threshold: float = 0.0,
     max_blocks: int = 128,
     data_id_offset: int = 0,
     output_path: Optional[str] = None,
@@ -39,7 +40,9 @@ def collect_trajectories(
     """Run Jacobi rollouts and emit stage-1 trajectory rows.
 
     temperature == 0 -> greedy trajectory collection (exact-match acceptance);
-    temperature > 0 -> stochastic on-policy collection.
+    temperature > 0 -> stochastic on-policy collection (rejection sampling, or
+    deterministic p(x) >= accept_threshold acceptance when threshold > 0 —
+    the reference's nongreedy collector uses 0.99).
 
     Row contract (generate_trajectory_opencodeinstruct_greedy.py:170-196):
     {data_id, diffusion_itr_id, prompt_ids, answer_trajectory_ids,
@@ -53,6 +56,7 @@ def collect_trajectories(
         decode_strategy="jacobi_on_policy",
         jacobi_block_len=block_len,
         jacobi_max_iterations=max_blocks,
+        jacobi_accept_threshold=accept_threshold,
     )
     outs = engine.generate(prompt_token_ids, sp)
     rows: List[Dict[str, Any]] = []

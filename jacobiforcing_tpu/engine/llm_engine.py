@@ -304,12 +304,13 @@ class LLMEngine:
             k = (
                 sp.jacobi_block_len, sp.top_k, 0.0 < sp.top_p < 1.0,
                 sp.temperature == 0.0,  # greedy trajectory collection mode
+                float(sp.jacobi_accept_threshold),
             )
             op_groups.setdefault(k, []).append(s)
-        for (L, top_k, use_top_p, greedy_mode), group in op_groups.items():
+        for (L, top_k, use_top_p, greedy_mode, thr), group in op_groups.items():
             for i in range(0, len(group), max_b):
                 self._onpolicy_block(
-                    group[i : i + max_b], L, top_k, use_top_p, greedy_mode
+                    group[i : i + max_b], L, top_k, use_top_p, greedy_mode, thr
                 )
 
         groups: Dict[tuple, List[Sequence]] = {}
@@ -548,7 +549,7 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def _onpolicy_block(
         self, seqs: List[Sequence], L: int, top_k: int, use_top_p: bool,
-        greedy_mode: bool = False,
+        greedy_mode: bool = False, accept_threshold: float = 0.0,
     ) -> None:
         """Run one on-policy rollout block per sequence; append records.
 
@@ -600,7 +601,7 @@ class LLMEngine:
             jnp.asarray(gen_len), jnp.asarray(active), bt, jnp.asarray(capacity),
             jnp.asarray(temps), jnp.asarray(top_ps), self._next_key(),
             jnp.asarray(stops_arr), pad_id, top_k=top_k, use_top_p=use_top_p,
-            greedy_mode=greedy_mode,
+            greedy_mode=greedy_mode, accept_threshold=accept_threshold,
         )
         self.kv = res["kv"]
         tokens_out = np.asarray(res["tokens"])

@@ -483,7 +483,7 @@ class OnPolicyState(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "top_k", "use_top_p", "greedy_mode"),
+    static_argnames=("cfg", "top_k", "use_top_p", "greedy_mode", "accept_threshold"),
     donate_argnames=("kv", "tokens"),
 )
 def jacobi_onpolicy_block(
@@ -507,6 +507,7 @@ def jacobi_onpolicy_block(
     top_k: int = -1,
     use_top_p: bool = False,
     greedy_mode: bool = False,
+    accept_threshold: float = 0.0,
 ) -> Dict[str, jax.Array]:
     """Run ONE Jacobi block to completion, recording every intermediate block
     state — the on-policy trajectory collector.
@@ -595,8 +596,15 @@ def jacobi_onpolicy_block(
                 top_k=top_k, top_p=top_p[:, None] if use_top_p else None,
             )  # [B, L, V]
             p_x = jnp.take_along_axis(probs, proposed[..., None], axis=-1)[..., 0]
-            u = jax.random.uniform(k_u, (B, L))
-            accept = (u < p_x) & (jT < remaining[:, None])
+            if accept_threshold > 0.0:
+                # deterministic probability-threshold acceptance (reference
+                # nongreedy collector, ..._nongreedy_blk32.py:281-338): keep
+                # the prefix with p(x) >= threshold; on zero acceptance sample
+                # ONE token from the full p (no exclusion), no bonus otherwise
+                accept = (p_x >= accept_threshold) & (jT < remaining[:, None])
+            else:
+                u = jax.random.uniform(k_u, (B, L))
+                accept = (u < p_x) & (jT < remaining[:, None])
             n_acc = jnp.sum(
                 jnp.cumprod(accept.astype(jnp.int32), axis=-1), axis=-1
             ).astype(jnp.int32)
@@ -608,11 +616,18 @@ def jacobi_onpolicy_block(
             logp = jnp.log(jnp.maximum(probs_rej, 1e-30))
             gumbel = -jnp.log(-jnp.log(jax.random.uniform(k_bonus, logp.shape) + 1e-10) + 1e-10)
             z = logp + gumbel
-            z = z.at[jnp.arange(B), proposed_rej].set(-jnp.inf)
+            if accept_threshold <= 0.0:
+                # RS residual excludes the rejected proposal
+                z = z.at[jnp.arange(B), proposed_rej].set(-jnp.inf)
             bonus = jnp.argmax(z, axis=-1).astype(jnp.int32)
 
-            commit = jnp.where((jT == n_acc[:, None]) & rejected[:, None], bonus[:, None], proposed)
-            count = n_acc + rejected.astype(jnp.int32)  # >= 1
+            if accept_threshold > 0.0:
+                fallback = (n_acc == 0) & (remaining > 0)
+                commit = jnp.where((jT == 0) & fallback[:, None], bonus[:, None], proposed)
+                count = jnp.maximum(n_acc, 1)
+            else:
+                commit = jnp.where((jT == n_acc[:, None]) & rejected[:, None], bonus[:, None], proposed)
+                count = n_acc + rejected.astype(jnp.int32)  # >= 1
 
         # stop-token cap (multi-stop set, on_policy.py stop handling)
         is_stop = jnp.any(

@@ -68,3 +68,32 @@ def test_rollout_stop_token_truncates():
     if stop in ids:
         assert ids[-1] == stop  # truncated right after the stop token
         assert stop not in ids[:-1]
+
+
+def test_accept_threshold_collection():
+    """Deterministic p(x) >= threshold acceptance (reference nongreedy
+    collector): rollouts complete, records well-formed, and a threshold of
+    1.0 forces pure sampling (1 token/iter) while 0 keeps RS behavior."""
+    from jacobiforcing_tpu.data.collect import collect_trajectories
+
+    prompts = make_prompts(256)[:2]
+    eng = make_engine(num_pages=256)
+    rows = collect_trajectories(
+        eng, prompts, block_len=8, max_tokens=16, temperature=1.0,
+        accept_threshold=0.99,
+    )
+    assert rows
+    for r in rows:
+        assert all(len(s) == 8 for s in r["answer_trajectory_ids"])
+        assert len(r["answer_trajectory_ids"]) >= 2
+
+    # threshold 1.0: nothing exceeds it -> exactly one token per iteration
+    eng2 = make_engine(num_pages=256)
+    sp = SamplingParams(temperature=1.0, max_tokens=8,
+                        decode_strategy="jacobi_on_policy", jacobi_block_len=8,
+                        jacobi_max_blocks=1, jacobi_max_iterations=16,
+                        jacobi_accept_threshold=1.1)
+    out = eng2.generate(prompts[:1], sp)[0]
+    rec = out["rollout_records"][0]
+    # 8 tokens generated in exactly 8 iterations (init + 8 states)
+    assert rec["num_iters"] == 8
