@@ -62,27 +62,57 @@ def _kernel(
     npages = lax.div(clen + jnp.int32(page - 1), jnp.int32(page))
     GL, D = q_ref.shape
 
-    NBUF = 4  # deep DMA pipeline: page fetches are small (page*D*2B), so keep
-    # 2*NBUF copies in flight to hide HBM latency rather than bandwidth
+    NBUF = 4  # DMA pipeline depth (buffers of PAIRS of pages)
+    tile = 2 * page  # two pages per loop iteration: halves per-byte VPU/
+    # control overhead (softmax passes, masks, semaphores) at the same DMA size
+    ntiles = lax.div(npages + jnp.int32(1), jnp.int32(2))
 
-    def kv_dma(slot, p):
+    def kv_dma(slot, t, half):
+        p = 2 * t + half
         page_id = bt_ref[b, p]
         base = pl.multiple_of(page_id * page, page)
+        off = half * page
         return (
             pltpu.make_async_copy(
-                k_hbm.at[h, pl.ds(base, page)], kbuf.at[slot], sem.at[slot, 0]
+                k_hbm.at[h, pl.ds(base, page)],
+                kbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * half],
             ),
             pltpu.make_async_copy(
-                v_hbm.at[h, pl.ds(base, page)], vbuf.at[slot], sem.at[slot, 1]
+                v_hbm.at[h, pl.ds(base, page)],
+                vbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * half + 1],
             ),
         )
 
-    # warm up: fill the pipeline
-    for p0 in range(NBUF):
-        @pl.when(p0 < npages)
+    def start_tile(slot, t):
+        for dma in kv_dma(slot, t, 0):
+            dma.start()
+
+        @pl.when(2 * t + 1 < npages)
         def _():
-            for dma in kv_dma(p0, p0):
+            for dma in kv_dma(slot, t, 1):
                 dma.start()
+
+    def wait_tile(slot, t):
+        for dma in kv_dma(slot, t, 0):
+            dma.wait()
+
+        @pl.when(2 * t + 1 < npages)
+        def _():
+            for dma in kv_dma(slot, t, 1):
+                dma.wait()
+
+    # zero the buffers once: an un-fetched second half (odd page count) must
+    # hold finite values — masked scores give exp(-inf)=0, but 0 * NaN in the
+    # PV matmul would poison the output.  Later slot reuse leaves stale-but-
+    # finite K/V data, which masks safely.
+    kbuf[...] = jnp.zeros_like(kbuf)
+    vbuf[...] = jnp.zeros_like(vbuf)
+
+    # warm up: fill the pipeline
+    for t0 in range(NBUF):
+        @pl.when(t0 < ntiles)
+        def _():
+            start_tile(t0, jnp.int32(t0))
 
     acc[...] = jnp.zeros_like(acc)
     m_i[...] = jnp.full_like(m_i, _NEG_INF)
@@ -92,20 +122,20 @@ def _kernel(
     row = lax.broadcasted_iota(jnp.int32, (GL, 1), 0)
     qpos = qstart + lax.rem(row, jnp.int32(L))  # [GL, 1] absolute query positions
 
-    def body(p, _):
-        slot = lax.rem(p, jnp.int32(NBUF))
+    def body(t, _):
+        slot = lax.rem(t, jnp.int32(NBUF))
+        wait_tile(slot, t)
 
-        for dma in kv_dma(slot, p):
-            dma.wait()
-
-        k = kbuf[slot].astype(q.dtype)  # [PAGE, D] (cast covers f8/int8 KV)
+        k = kbuf[slot].astype(q.dtype)  # [TILE, D] (cast covers f8/int8 KV)
         v = vbuf[slot].astype(q.dtype)
         s = lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [GL, PAGE] f32 accumulation from native-dtype inputs
-        key_abs = p * page + lax.broadcasted_iota(jnp.int32, (GL, page), 1)
+        ) * scale  # [GL, TILE] f32 accumulation from native-dtype inputs
+        key_abs = t * tile + lax.broadcasted_iota(jnp.int32, (GL, tile), 1)
+        # the second half masks itself out when its page was never fetched
+        # (key_abs >= clen there)
         mask = (key_abs <= qpos) & (key_abs < clen)
         s = jnp.where(mask, s, _NEG_INF)
 
@@ -122,14 +152,13 @@ def _kernel(
         l_i[...] = l_new
 
         # refill the slot we just consumed (pipeline depth NBUF-1 behind it)
-        @pl.when(p + NBUF < npages)
+        @pl.when(t + NBUF < ntiles)
         def _():
-            for dma in kv_dma(slot, p + NBUF):
-                dma.start()
+            start_tile(slot, t + NBUF)
 
         return 0
 
-    lax.fori_loop(jnp.int32(0), npages, body, 0)
+    lax.fori_loop(jnp.int32(0), ntiles, body, 0)
     o_ref[...] = (acc[...] / jnp.maximum(l_i[...], 1e-30)).astype(o_ref.dtype)
 
 
@@ -168,9 +197,9 @@ def paged_attention_pallas(
         ],
         out_specs=pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((4, page_size, D), k_cache_l.dtype),
-            pltpu.VMEM((4, page_size, D), v_cache_l.dtype),
-            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.VMEM((4, 2 * page_size, D), k_cache_l.dtype),
+            pltpu.VMEM((4, 2 * page_size, D), v_cache_l.dtype),
+            pltpu.SemaphoreType.DMA((4, 4)),
             pltpu.VMEM((GL, D), jnp.float32),
             pltpu.VMEM((GL, 1), jnp.float32),
             pltpu.VMEM((GL, 1), jnp.float32),
