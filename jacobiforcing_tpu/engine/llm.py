@@ -66,7 +66,7 @@ class LLM:
             prompt_ids = [self.tokenizer.encode(p) for p in prompts]
         else:
             prompt_ids = prompts  # already token ids
-        return self.engine.generate(prompt_ids, sp)
+        return self.engine.generate(prompt_ids, sp, use_tqdm=use_tqdm)
 
     @property
     def stats(self):

@@ -8,10 +8,12 @@ TPU-first re-design of the reference model stack
   * per-layer weights are STACKED along a leading layer axis and the decoder
     runs as one `lax.scan` — one compiled layer body instead of N unrolled
     layers, which keeps Jacobi-loop compile times low;
-  * the KV cache is a flat paged array `[layers, num_pages*page, kv_heads, hd]`
-    indexed through per-sequence block tables; "trimming" KV (reference
-    block_manager.py:534-565 `trim_kv_only_fast`) is a pure length-counter
-    decrement — stale slots are masked in attention and overwritten later;
+  * the KV cache is a flat paged array `[layers, kv_heads, num_pages*page, hd]`
+    (head-major so a page is a contiguous per-head HBM slab for the Pallas
+    kernel) indexed through per-sequence block tables; "trimming" KV
+    (reference block_manager.py:534-565 `trim_kv_only_fast`) is a pure
+    length-counter decrement — stale slots are masked in attention and
+    overwritten later;
   * ONE attention implementation serves prefill, AR decode (L=1) and Jacobi
     blocks (L=n) so greedy argmax is bit-stable across paths — the property
     the reference gets by reusing flash_attn_with_kvcache for both
