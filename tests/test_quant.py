@@ -121,3 +121,21 @@ def test_chunked_token_logprob_matches_full():
     )[..., 0]
     got = chunked_token_logprob(params, cfg, h, toks, temp, vocab_chunk=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_int4_matmul_kernel_correct():
+    """Int4 dequant-matmul kernel (interpret mode) vs full-precision reference."""
+    import jax.numpy as jnp
+    from jacobiforcing_tpu.ops.pallas import int4_matmul as i4
+
+    r = np.random.RandomState(0)
+    K, N, M = 256, 1024, 16
+    wq = jnp.asarray(r.randint(-8, 8, (K, N)), jnp.int8)
+    wp = i4.pack_int4(wq)
+    assert wp.shape == (K, N // 2)
+    scale = jnp.asarray(np.abs(r.randn(N)) * 0.01, jnp.float32)
+    x = jnp.asarray(r.randn(M, K), jnp.float32)
+    ref = (x @ wq.astype(jnp.float32)) * scale
+
+    out = i4.int4_matmul(x, wp, scale, tile_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
