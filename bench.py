@@ -77,7 +77,8 @@ def main():
         return runner.jacobi_chunk_greedy(
             params, cfg, rope, kv, tokens, cur_len, draft, eos, iters0,
             block_tables, capacity, max_new, jax.random.PRNGKey(1), -1,
-            chunk_budget=budget, max_iters=budget + 8,
+            jnp.full((B,), budget + 8, jnp.int32),
+            chunk_budget=budget,
         )
 
     res = chunk(kv, tokens)  # compile + warm

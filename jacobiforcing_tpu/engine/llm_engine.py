@@ -182,6 +182,17 @@ class LLMEngine:
         strat = sampling_params.decode_strategy
         if strat not in self.SUPPORTED_STRATEGIES:
             raise NotImplementedError(f"decode_strategy {strat!r} not supported yet")
+        assert len(token_ids) < self.config.max_model_len, (
+            f"prompt ({len(token_ids)} tokens) exceeds max_model_len "
+            f"{self.config.max_model_len}"
+        )
+        # clamp the budget so a capacity-stalled sequence cannot livelock the
+        # scheduler (generation is bounded by the model context anyway)
+        room = self.config.max_model_len - len(token_ids)
+        if sampling_params.max_tokens > room:
+            from dataclasses import replace
+
+            sampling_params = replace(sampling_params, max_tokens=room)
         seq = Sequence(token_ids, sampling_params)
         self.scheduler.add(seq)
         return seq
@@ -384,6 +395,7 @@ class LLMEngine:
         draft = np.zeros((B, L), np.int32)
         temps = np.ones((B,), np.float32)
         top_ps = np.ones((B,), np.float32)
+        max_iters_arr = np.ones((B,), np.int32)
 
         for i, s in enumerate(seqs):
             n = len(s)
@@ -397,6 +409,7 @@ class LLMEngine:
             max_new[i] = max(0, s.max_tokens - s.num_completion_tokens)
             temps[i] = s.sampling_params.temperature
             top_ps[i] = s.sampling_params.top_p
+            max_iters_arr[i] = min(s.sampling_params.jacobi_max_iterations, 2**30)
             if s.draft is not None:
                 draft[i] = s.draft
                 draft[i, 0] = s.last_token
@@ -426,9 +439,8 @@ class LLMEngine:
                 jnp.asarray(tokens), jnp.asarray(cur_len), jnp.asarray(draft),
                 jnp.asarray(eos), jnp.asarray(iters), bt, jnp.asarray(capacity),
                 jnp.asarray(max_new), jnp.asarray(temps), jnp.asarray(top_ps),
-                self._next_key(), eos_id,
+                self._next_key(), eos_id, jnp.asarray(max_iters_arr),
                 chunk_budget=self.config.jacobi_chunk_tokens,
-                max_iters=self.config.jacobi_max_iterations,
                 top_k=top_k, use_top_p=use_top_p,
             )
         else:
@@ -437,8 +449,8 @@ class LLMEngine:
                 jnp.asarray(tokens), jnp.asarray(cur_len), jnp.asarray(draft),
                 jnp.asarray(eos), jnp.asarray(iters), bt, jnp.asarray(capacity),
                 jnp.asarray(max_new), self._next_key(), eos_id,
+                jnp.asarray(max_iters_arr),
                 chunk_budget=self.config.jacobi_chunk_tokens,
-                max_iters=self.config.jacobi_max_iterations,
             )
         self.kv = res["kv"]
         tokens_out = np.asarray(res["tokens"])
@@ -522,10 +534,9 @@ class LLMEngine:
             jnp.int32(st["pool_next"]), jnp.int32(st["last_next"]),
             jnp.asarray(False), jnp.int32(s.jacobi_iters), bt,
             jnp.int32(capacity), jnp.int32(max_new), eos_id, pad_id,
-            spawn_thr, la_start,
+            spawn_thr, la_start, jnp.int32(min(sp.jacobi_max_iterations, 2**30)),
             N=N, K=K, C=C, W=W,
             chunk_budget=self.config.jacobi_chunk_tokens,
-            max_iters=self.config.jacobi_max_iterations,
         )
         self.kv = res["kv"]
         cur = int(res["cur_len"])

@@ -86,7 +86,7 @@ def _compact(tokens: jax.Array, valid: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "N", "K", "C", "W", "chunk_budget", "max_iters"),
+    static_argnames=("cfg", "N", "K", "C", "W", "chunk_budget"),
     donate_argnames=("kv", "tokens"),
 )
 def jacobi_chunk_multiblock(
@@ -117,13 +117,13 @@ def jacobi_chunk_multiblock(
     pad_token_id,
     spawn_threshold,  # scalar int: ceil(r * N)
     lookahead_start,  # scalar int: ceil(lookahead_start_ratio * N)
+    max_iters,  # scalar: per-request lifetime iteration budget (dynamic)
     *,
     N: int,
     K: int,
     C: int,  # candidate slots (= n-gram pool size)
     W: int,  # pool entry width
     chunk_budget: int,
-    max_iters: int,
 ) -> Dict[str, jax.Array]:
     S = 1 + C + (K - 1)  # segments: RA, C candidates, K-1 pseudos
     T = S * N

@@ -154,6 +154,8 @@ class JacobiState(NamedTuple):
 
 
 def _jacobi_cond(chunk_budget, max_iters, state: JacobiState, max_new, capacity):
+    # max_iters: per-seq LIFETIME iteration budgets [B] (dynamic — must match
+    # the scheduler's per-request retirement bound or a stalled row livelocks)
     L = state.draft.shape[1]
     can_fit = (state.cur_len - 1 + L) <= capacity
     active = (
@@ -168,7 +170,7 @@ def _jacobi_cond(chunk_budget, max_iters, state: JacobiState, max_new, capacity)
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "chunk_budget", "max_iters"),
+    static_argnames=("cfg", "chunk_budget"),
     donate_argnames=("kv", "tokens"),
 )
 def jacobi_chunk_greedy(
@@ -186,9 +188,9 @@ def jacobi_chunk_greedy(
     max_new: jax.Array,  # [B] remaining token budget for this chunk's requests
     key: jax.Array,
     eos_token_id: int | jax.Array,
+    max_iters: jax.Array,  # [B] per-request lifetime iteration budgets
     *,
     chunk_budget: int,
-    max_iters: int,
 ) -> Dict[str, jax.Array]:
     """Run greedy Jacobi iterations on-device until every row is done/stalled.
 
@@ -302,7 +304,7 @@ def jacobi_chunk_greedy(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "chunk_budget", "max_iters", "top_k", "use_top_p"),
+    static_argnames=("cfg", "chunk_budget", "top_k", "use_top_p"),
     donate_argnames=("kv", "tokens"),
 )
 def jacobi_chunk_nongreedy(
@@ -322,9 +324,9 @@ def jacobi_chunk_nongreedy(
     top_p: jax.Array,  # [B] (ignored unless use_top_p)
     key: jax.Array,
     eos_token_id: int | jax.Array,
+    max_iters: jax.Array,  # [B] per-request lifetime iteration budgets
     *,
     chunk_budget: int,
-    max_iters: int,
     top_k: int = -1,
     use_top_p: bool = False,
 ) -> Dict[str, jax.Array]:

@@ -128,7 +128,8 @@ class Scheduler:
             # on-policy: a committed stop token ends the rollout (for on-policy
             # jacobi_max_iterations counts BLOCKS — on_policy.py:232-247)
             op_done = sp.decode_strategy == "jacobi_on_policy" and seq.op_stopped
-            if hit_eos or out_of_iters or op_done or seq.num_completion_tokens >= sp.max_tokens:
+            hit_cap = len(seq) >= self.config.max_model_len  # context exhausted
+            if hit_eos or out_of_iters or op_done or hit_cap or seq.num_completion_tokens >= sp.max_tokens:
                 seq.truncate_completion()
                 seq.status = SequenceStatus.FINISHED
                 self.block_manager.deallocate(seq)

@@ -78,7 +78,8 @@ def jacobi_generate_greedy(
         draft, jnp.zeros((1,), bool), jnp.zeros((1,), jnp.int32), bt,
         jnp.asarray([capacity], jnp.int32), jnp.asarray([max_new_tokens], jnp.int32),
         jax.random.PRNGKey(seed + 1), eos_token_id,
-        chunk_budget=max_new_tokens, max_iters=max_iterations,
+        jnp.full((1,), max_iterations, jnp.int32),
+        chunk_budget=max_new_tokens,
     )
     out = np.asarray(res["tokens"])[0, P : int(res["cur_len"][0])].tolist()
     iters = int(res["iters"][0])
@@ -139,7 +140,8 @@ def jacobi_generate_multiblock(
         jnp.int32(pf[0]), jnp.asarray(False), jnp.int32(0), bt,
         jnp.int32(capacity), jnp.int32(max_new_tokens), eos_token_id, pad_token_id,
         int(math.ceil(r * N)), int(math.ceil(lookahead_start_ratio * N)),
-        N=N, K=K, C=C, W=W, chunk_budget=max_new_tokens, max_iters=max_iterations,
+        jnp.int32(max_iterations),
+        N=N, K=K, C=C, W=W, chunk_budget=max_new_tokens,
     )
     out = np.asarray(res["tokens"])[P : int(res["cur_len"])].tolist()
     iters = int(res["iters"])

@@ -109,7 +109,8 @@ def jacobi_generate_greedy(
             params, cfg, rope, kv, tokens, cur_len, draft, eos, iters,
             jnp.asarray(block_tables), jnp.asarray(capacity),
             max_new_arr - produced, key,
-            eos_token_id, chunk_budget=chunk_budget, max_iters=max_iters,
+            eos_token_id, jnp.full((B,), max_iters, jnp.int32),
+            chunk_budget=chunk_budget,
         )
         kv, tokens, cur_len = res["kv"], res["tokens"], res["cur_len"]
         draft, eos, iters = res["draft"], res["eos"], res["iters"]

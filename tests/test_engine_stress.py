@@ -85,3 +85,22 @@ def test_page_pressure_with_shared_prefixes():
     # all pages returned after retirement
     assert tight_eng.block_manager.num_free_pages == 28
     assert ample_eng.block_manager.num_free_pages == 512
+
+
+def test_oversized_budget_terminates():
+    """A max_tokens far beyond max_model_len must not livelock: the budget is
+    clamped to the context window and generation completes."""
+    import pytest
+
+    rng = np.random.RandomState(1)
+    eng = make_engine(num_pages=512)  # max_model_len=256 in make_engine
+    prompt = rng.randint(1, 256, 40).tolist()
+    out = eng.generate(
+        [prompt],
+        SamplingParams(temperature=0.0, max_tokens=10**6, decode_strategy="jacobi",
+                       jacobi_block_len=8, jacobi_max_blocks=1,
+                       jacobi_max_iterations=10**6),
+    )[0]
+    assert len(out["token_ids"]) == 256 - 40
+    with pytest.raises(AssertionError):
+        eng.add_request(rng.randint(1, 256, 300).tolist(), SamplingParams())
