@@ -166,4 +166,7 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 if __name__ == "__main__":
+    from jacobiforcing_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     run(make_parser().parse_args())

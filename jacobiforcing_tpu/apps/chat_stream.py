@@ -95,4 +95,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from jacobiforcing_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     main()

@@ -74,6 +74,9 @@ def make_parser():
 
 
 if __name__ == "__main__":
+    from jacobiforcing_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = make_parser().parse_args()
 
     def factory():
