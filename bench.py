@@ -47,6 +47,9 @@ def main():
 
     B = int(os.environ.get("JF_BENCH_B", "1"))
     L = int(os.environ.get("JF_BENCH_L", "64"))
+    kv_dtype = {"fp8": jnp.float8_e4m3fn}.get(
+        os.environ.get("JF_BENCH_KV", ""), jnp.bfloat16
+    )
     page = 256
     ctx = int(os.environ.get("JF_BENCH_CTX", "1024"))
     budget = int(os.environ.get("JF_BENCH_TOKENS", "256"))  # tokens per chunk
@@ -58,7 +61,10 @@ def main():
     else:
         params = init_params(cfg, key)
     rope = rope_table(cfg)
-    kv = alloc_kv_cache(cfg.num_layers, B * pages_per_seq, page, cfg.num_kv_heads, cfg.head_dim)
+    kv = alloc_kv_cache(
+        cfg.num_layers, B * pages_per_seq, page, cfg.num_kv_heads, cfg.head_dim,
+        kv_dtype,
+    )
     block_tables = jnp.asarray(
         np.arange(B * pages_per_seq, dtype=np.int32).reshape(B, pages_per_seq))
 
@@ -95,8 +101,9 @@ def main():
     tpf = 4.0  # reference's measured TPF for Jacobi-MR (README.md:261)
     tps = tpf * iters_per_s
     baseline_tps = 163.9  # reference 7B Jacobi-MR on 1xA100 (BASELINE.md)
+    kv_tag = "_kvfp8" if kv_dtype == jnp.float8_e4m3fn else ""
     print(json.dumps({
-        "metric": f"jacobi_tps_at_tpf4_{preset}_{quant}_L{L}_B{B}",
+        "metric": f"jacobi_tps_at_tpf4_{preset}_{quant}{kv_tag}_L{L}_B{B}",
         "value": round(tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps / baseline_tps, 3),

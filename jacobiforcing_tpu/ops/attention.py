@@ -155,10 +155,14 @@ def paged_attention(
     )
     if impl in ("auto", "pallas") and kernel_ok:
         try:
-            # auto: the kernel wins from B >= 2 (measured 1.7x at B=8, 8k ctx);
-            # at B == 1 the XLA gather path pipelines better on one chip.
+            # auto: the kernel wins from B >= 2 (1.7x at B=8, 8k ctx) and at
+            # B == 1 once the context is long (494 vs 465 tok/s at 7.7k on
+            # 1.5B) — the XLA gather path only pipelines better for short
+            # single-stream contexts.
+            long_ctx = block_tables.shape[1] * page_size >= 4096
             if impl == "pallas" or (
-                jax.default_backend() not in ("cpu",) and q.shape[0] >= 2
+                jax.default_backend() not in ("cpu",)
+                and (q.shape[0] >= 2 or long_ctx)
             ):
                 from jacobiforcing_tpu.ops.pallas.paged_attention import (
                     paged_attention_pallas,

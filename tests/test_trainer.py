@@ -184,3 +184,31 @@ def test_trainer_loop_and_resume(tmp_path):
     )
     res2 = train(args2, model_cfg=cfg, dataset=DS(), log_fn=lambda *_: None)
     assert res2["step"] == 6
+
+
+def test_trainer_variants_e2e(tmp_path):
+    """multiblock and window variants run through the full train() loop
+    (ar_weight switching, mask wiring) and decrease loss."""
+    from jacobiforcing_tpu.train.trainer import TrainerArgs, train
+
+    cfg = ModelConfig.tiny(dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    rows = [{"input_ids": _make_row(rng), "prompt_len": P, "T": T} for _ in range(3)]
+
+    class DS:
+        def __len__(self):
+            return len(rows)
+
+        def __getitem__(self, i):
+            return rows[i]
+
+    for variant in ("multiblock", "window"):
+        args = TrainerArgs(
+            output_dir=str(tmp_path / variant), max_new_tokens=N, seq_bucket=64,
+            variant=variant, window_size=2, max_steps=6, save_steps=100,
+            log_steps=1, learning_rate=3e-4, resume=False,
+        )
+        res = train(args, model_cfg=cfg, dataset=DS(), log_fn=lambda *_: None)
+        losses = [h["loss"] for h in res["history"]]
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], (variant, losses)
