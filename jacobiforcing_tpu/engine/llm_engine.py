@@ -304,8 +304,20 @@ class LLMEngine:
             s for s in jac
             if s.sampling_params.decode_strategy == "jacobi_multiblock_rejection_recycling"
         ]
+        mr_groups: Dict[tuple, List[Sequence]] = {}
         for s in mr:
-            self._multiblock_chunk(s)
+            sp = s.sampling_params
+            k = (
+                sp.jacobi_block_len, max(1, sp.jacobi_max_blocks),
+                max(1, sp.jacobi_n_gram_pool_size), sp.ignore_eos,
+            )
+            mr_groups.setdefault(k, []).append(s)
+        for (L, K, C, ignore_eos), group in mr_groups.items():
+            for i in range(0, len(group), max_b):
+                self._multiblock_chunk(
+                    group[i : i + max_b], L, K, C,
+                    -1 if ignore_eos else self.config.eos,
+                )
         jac = [s for s in jac if s not in mr]
         onpolicy = [s for s in jac if s.sampling_params.decode_strategy == "jacobi_on_policy"]
         jac = [s for s in jac if s.sampling_params.decode_strategy != "jacobi_on_policy"]
@@ -474,87 +486,117 @@ class LLMEngine:
         self.stats["chunk_calls"] += 1
 
     # ------------------------------------------------------------------
-    def _multiblock_chunk(self, s: Sequence) -> None:
-        """One device segment of multiblock + rejection-recycling decoding
-        (single sequence, like the reference HF path)."""
+    def _multiblock_chunk(
+        self, seqs: List[Sequence], N: int, K: int, C: int, eos_id: int
+    ) -> None:
+        """One BATCHED device segment of multiblock + rejection-recycling
+        decoding (the reference HF path is single-sequence and its engine
+        rejects MR; batching it is a TPU-side extension)."""
         import math
 
         from jacobiforcing_tpu.engine.multiblock import jacobi_chunk_multiblock
 
-        sp = s.sampling_params
-        N = sp.jacobi_block_len
-        K = max(1, sp.jacobi_max_blocks)
-        C = max(1, sp.jacobi_n_gram_pool_size)
         W = 2 * N
         pad_id = max(self.config.pad, 0)
+        B = _bucket(len(seqs), self.config.batch_buckets)
 
-        if s.mb_state is None:
-            pf = s.prefill_draft if s.prefill_draft is not None else np.zeros(0, np.int32)
-            draft0 = np.full((N,), pad_id, np.int32)
-            n = min(len(pf), N)
-            draft0[:n] = pf[:n]
-            if n < N:
-                draft0[n:] = self.rng.randint(0, self.model_cfg.vocab_size, N - n)
-            s.prefill_draft = None
-            bd = np.zeros((K, N), np.int32)
-            bd[0] = draft0
-            s.mb_state = {
-                "blk_draft": bd,
-                "blk_dlen": np.asarray([N] + [0] * (K - 1), np.int32),
-                "blk_acc": np.zeros((K,), np.int32),
-                "blk_acc_toks": np.zeros((K, N), np.int32),
-                "blk_base": np.asarray([len(s)] + [0] * (K - 1), np.int32),
-                "blk_active": np.asarray([True] + [False] * (K - 1), bool),
-                "ra": np.int32(0),
-                "n_active": np.int32(1),
-                "pool": np.zeros((C, W), np.int32),
-                "pool_len": np.zeros((C,), np.int32),
-                "pool_next": np.int32(0),
-                "last_next": np.int32(draft0[0]),
-            }
-        st = s.mb_state
+        for s in seqs:
+            if s.mb_state is None:
+                pf = s.prefill_draft if s.prefill_draft is not None else np.zeros(0, np.int32)
+                draft0 = np.full((N,), pad_id, np.int32)
+                n = min(len(pf), N)
+                draft0[:n] = pf[:n]
+                if n < N:
+                    draft0[n:] = self.rng.randint(0, self.model_cfg.vocab_size, N - n)
+                s.prefill_draft = None
+                bd = np.zeros((K, N), np.int32)
+                bd[0] = draft0
+                s.mb_state = {
+                    "blk_draft": bd,
+                    "blk_dlen": np.asarray([N] + [0] * (K - 1), np.int32),
+                    "blk_acc": np.zeros((K,), np.int32),
+                    "blk_acc_toks": np.zeros((K, N), np.int32),
+                    "blk_base": np.asarray([len(s)] + [0] * (K - 1), np.int32),
+                    "blk_active": np.asarray([True] + [False] * (K - 1), bool),
+                    "ra": np.int32(0),
+                    "n_active": np.int32(1),
+                    "pool": np.zeros((C, W), np.int32),
+                    "pool_len": np.zeros((C,), np.int32),
+                    "pool_next": np.int32(0),
+                    "last_next": np.int32(draft0[0]),
+                }
 
-        tokens = np.zeros((self.cap_tokens,), np.int32)
-        tokens[: len(s)] = s.token_ids
-        bt = self._pad_block_table([s], 1)
-        capacity = min(self.block_manager.capacity_tokens(s), self.cap_tokens - 1)
-        max_new = max(0, s.max_tokens - s.num_completion_tokens)
-        eos_id = -1 if sp.ignore_eos else self.config.eos
-        spawn_thr = int(math.ceil(sp.jacobi_spawn_ratio * N))
-        la_start = int(math.ceil(sp.jacobi_lookahead_start_ratio * N))
+        def stack(key, pad_shape, dtype):
+            out = np.zeros((B,) + pad_shape, dtype)
+            for i, s in enumerate(seqs):
+                out[i] = s.mb_state[key]
+            return jnp.asarray(out)
 
+        tokens = np.zeros((B, self.cap_tokens), np.int32)
+        cur_len = np.ones((B,), np.int32)
+        eos = np.ones((B,), bool)  # padding rows inert
+        iters = np.zeros((B,), np.int32)
+        capacity = np.zeros((B,), np.int32)
+        max_new = np.zeros((B,), np.int32)
+        max_iters = np.ones((B,), np.int32)
+        spawn_thr = np.full((B,), N, np.int32)
+        la_start = np.zeros((B,), np.int32)
+        for i, s in enumerate(seqs):
+            sp = s.sampling_params
+            tokens[i, : len(s)] = s.token_ids
+            cur_len[i] = len(s)
+            eos[i] = False
+            iters[i] = s.jacobi_iters
+            capacity[i] = min(self.block_manager.capacity_tokens(s), self.cap_tokens - 1)
+            max_new[i] = max(0, s.max_tokens - s.num_completion_tokens)
+            max_iters[i] = min(sp.jacobi_max_iterations, 2**30)
+            spawn_thr[i] = int(math.ceil(sp.jacobi_spawn_ratio * N))
+            la_start[i] = int(math.ceil(sp.jacobi_lookahead_start_ratio * N))
+
+        bt = self._pad_block_table(seqs, B)
+        prof = get_profiler()
+        if prof:
+            prof.record_bucket("jacobi_mr", (B, N, K, C))
+            prof.start("forward")
         res = jacobi_chunk_multiblock(
             self.params, self.model_cfg, self.rope, self.kv,
-            jnp.asarray(tokens), jnp.int32(len(s)),
-            jnp.asarray(st["blk_draft"]), jnp.asarray(st["blk_dlen"]),
-            jnp.asarray(st["blk_acc"]), jnp.asarray(st["blk_acc_toks"]),
-            jnp.asarray(st["blk_base"]), jnp.asarray(st["blk_active"]),
-            jnp.int32(st["ra"]), jnp.int32(st["n_active"]),
-            jnp.asarray(st["pool"]), jnp.asarray(st["pool_len"]),
-            jnp.int32(st["pool_next"]), jnp.int32(st["last_next"]),
-            jnp.asarray(False), jnp.int32(s.jacobi_iters), bt,
-            jnp.int32(capacity), jnp.int32(max_new), eos_id, pad_id,
-            spawn_thr, la_start, jnp.int32(min(sp.jacobi_max_iterations, 2**30)),
+            jnp.asarray(tokens), jnp.asarray(cur_len),
+            stack("blk_draft", (K, N), np.int32), stack("blk_dlen", (K,), np.int32),
+            stack("blk_acc", (K,), np.int32), stack("blk_acc_toks", (K, N), np.int32),
+            stack("blk_base", (K,), np.int32), stack("blk_active", (K,), bool),
+            stack("ra", (), np.int32), stack("n_active", (), np.int32),
+            stack("pool", (C, W), np.int32), stack("pool_len", (C,), np.int32),
+            stack("pool_next", (), np.int32), stack("last_next", (), np.int32),
+            jnp.asarray(eos), jnp.asarray(iters), bt,
+            jnp.asarray(capacity), jnp.asarray(max_new), eos_id, pad_id,
+            jnp.asarray(spawn_thr), jnp.asarray(la_start), jnp.asarray(max_iters),
             N=N, K=K, C=C, W=W,
             chunk_budget=self.config.jacobi_chunk_tokens,
         )
         self.kv = res["kv"]
-        cur = int(res["cur_len"])
         toks = np.asarray(res["tokens"])
-        new = toks[len(s) : cur].tolist()
-        s.extend_tokens(new)
-        s.num_cached_tokens = len(s) - 1
-        iters_delta = int(res["iters"]) - s.jacobi_iters
-        s.jacobi_iters = int(res["iters"])
-        for k in ("blk_draft", "blk_dlen", "blk_acc", "blk_acc_toks", "blk_base",
-                  "blk_active", "pool", "pool_len"):
-            st[k] = np.asarray(res[k])
-        st["ra"] = np.int32(res["ra"])
-        st["n_active"] = np.int32(res["n_active"])
-        st["pool_next"] = np.int32(res["pool_next"])
-        st["last_next"] = np.int32(res["last_next"])
-        self.stats["generated_tokens"] += int(res["generated"])
-        self.stats["jacobi_iterations"] += iters_delta
+        cur_out = np.asarray(res["cur_len"])
+        iters_out = np.asarray(res["iters"])
+        gen = np.asarray(res["generated"])
+        if prof:
+            prof.stop("forward")
+            prof.add_tokens(int(gen[: len(seqs)].sum()))
+            prof.add_iteration(int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum()))
+        per_seq = {
+            k: np.asarray(res[k])
+            for k in ("blk_draft", "blk_dlen", "blk_acc", "blk_acc_toks",
+                      "blk_base", "blk_active", "ra", "n_active", "pool",
+                      "pool_len", "pool_next", "last_next")
+        }
+        for i, s in enumerate(seqs):
+            new = toks[i, len(s) : cur_out[i]].tolist()
+            s.extend_tokens(new)
+            s.num_cached_tokens = len(s) - 1
+            s.jacobi_iters = int(iters_out[i])
+            for k, arr in per_seq.items():
+                s.mb_state[k] = arr[i]
+            self.stats["generated_tokens"] += int(gen[i])
+        self.stats["jacobi_iterations"] += int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum())
         self.stats["chunk_calls"] += 1
 
     # ------------------------------------------------------------------

@@ -1,4 +1,5 @@
-"""Multiblock Jacobi decoding with rejection recycling (MR) — device-resident.
+"""Multiblock Jacobi decoding with rejection recycling (MR) — device-resident,
+BATCHED.
 
 TPU re-design of the reference's HF-monkeypatch MR decoder
 (modeling/cllm2_qwen2_modeling_kv_terminate_on_eos_improved_multiblock_lookahead_unified.py:140-740).
@@ -20,10 +21,16 @@ batch-expansion for candidates, per-iteration KV trims) becomes one jitted
     (`forward_spec` writes nothing; the winning segment's K/V is scattered
     into the paged cache afterwards);
   * the n-gram pool (deque maxlen=pool in the reference, :562-587) is a fixed
-    [P, W] ring buffer; per rejected iteration it receives the global
+    [C, W] ring buffer; per rejected iteration it receives the global
     block-concat and the rejected greedy tail; candidates splice a pool entry
     from the first position matching the next token, padded with the current
     draft (reference _build_candidates :63-91), skipping the newest entry.
+
+BATCHING (beyond the reference, whose engine rejects MR outright and whose HF
+path is single-sequence): per-sequence block/pool state carries a leading
+batch axis; segment assembly and verification are vmapped; the shared paged
+KV cache and token buffers are updated with batched scatters; finished or
+stalled rows are gated inert so mixed-progress batches decode together.
 
 Deviations from the reference (documented intentional fixes):
   * pseudo-block verification uses the same aligned greedy[i] -> seg[i+1]
@@ -31,14 +38,9 @@ Deviations from the reference (documented intentional fixes):
     the `cursor = 1` offset, :339-344 — benign there because promotion resets
     acceptance, but we keep verification consistent);
   * segments carry their SEMANTIC positions (block base + offset) instead of
-    cache-append positions (reference cache_position, :436-440) — better RoPE
-    alignment for lookahead drafts, same correctness;
+    cache-append positions (reference cache_position, :436-440);
   * when RA completes with no pseudo alive, a fresh RA starts in place
     ([last_next | PAD...]) instead of returning to the host per block.
-
-Engine-side support for MR is itself an extension: the reference serving
-engine declares this strategy unsupported (model_runner.py:1468-1473) and only
-the HF path implements it.
 """
 
 from __future__ import annotations
@@ -56,26 +58,26 @@ from jacobiforcing_tpu.ops.kv_cache import KVCache
 
 class MBState(NamedTuple):
     kv: KVCache
-    tokens: jax.Array  # [cap]
-    cur_len: jax.Array  # scalar: committed length
-    blk_draft: jax.Array  # [K, N]
-    blk_dlen: jax.Array  # [K]
-    blk_acc: jax.Array  # [K]
-    blk_acc_toks: jax.Array  # [K, N]
-    blk_base: jax.Array  # [K] absolute start position of each block
-    blk_active: jax.Array  # [K] bool
-    ra: jax.Array  # scalar slot index
-    n_active: jax.Array  # scalar
-    pool: jax.Array  # [P, W]
-    pool_len: jax.Array  # [P]
-    pool_next: jax.Array  # scalar ring index
-    last_next: jax.Array  # scalar token
-    eos: jax.Array  # scalar bool
-    iters: jax.Array
-    generated: jax.Array
+    tokens: jax.Array  # [B, cap]
+    cur_len: jax.Array  # [B] committed length
+    blk_draft: jax.Array  # [B, K, N]
+    blk_dlen: jax.Array  # [B, K]
+    blk_acc: jax.Array  # [B, K]
+    blk_acc_toks: jax.Array  # [B, K, N]
+    blk_base: jax.Array  # [B, K] absolute start position of each block
+    blk_active: jax.Array  # [B, K] bool
+    ra: jax.Array  # [B] slot index
+    n_active: jax.Array  # [B]
+    pool: jax.Array  # [B, C, W]
+    pool_len: jax.Array  # [B, C]
+    pool_next: jax.Array  # [B] ring index
+    last_next: jax.Array  # [B] token
+    eos: jax.Array  # [B] bool
+    iters: jax.Array  # [B]
+    generated: jax.Array  # [B]
 
 
-def _compact(tokens: jax.Array, valid: jax.Array) -> jax.Array:
+def _compact(tokens: jax.Array, valid: jax.Array):
     """Stable-compact valid tokens to the front (pool global-concat entries —
     the reference strips PADs, :404-406)."""
     n = tokens.shape[0]
@@ -94,9 +96,9 @@ def jacobi_chunk_multiblock(
     cfg: ModelConfig,
     rope,
     kv: KVCache,
-    tokens: jax.Array,  # [cap]
-    cur_len: jax.Array,  # scalar
-    blk_draft: jax.Array,  # [K, N]
+    tokens: jax.Array,  # [B, cap]
+    cur_len: jax.Array,  # [B]
+    blk_draft: jax.Array,  # [B, K, N]
     blk_dlen: jax.Array,
     blk_acc: jax.Array,
     blk_acc_toks: jax.Array,
@@ -104,20 +106,20 @@ def jacobi_chunk_multiblock(
     blk_active: jax.Array,
     ra: jax.Array,
     n_active: jax.Array,
-    pool: jax.Array,  # [C, W]
+    pool: jax.Array,  # [B, C, W]
     pool_len: jax.Array,
     pool_next: jax.Array,
     last_next: jax.Array,
-    eos_in: jax.Array,  # scalar bool
-    iters: jax.Array,
-    block_tables: jax.Array,  # [1, P_pages]
-    capacity: jax.Array,  # scalar
-    max_new: jax.Array,  # scalar
+    eos_in: jax.Array,  # [B] bool
+    iters: jax.Array,  # [B]
+    block_tables: jax.Array,  # [B, P_pages]
+    capacity: jax.Array,  # [B]
+    max_new: jax.Array,  # [B]
     eos_token_id,
     pad_token_id,
-    spawn_threshold,  # scalar int: ceil(r * N)
-    lookahead_start,  # scalar int: ceil(lookahead_start_ratio * N)
-    max_iters,  # scalar: per-request lifetime iteration budget (dynamic)
+    spawn_threshold,  # [B] int: ceil(r * N)
+    lookahead_start,  # [B] int: ceil(lookahead_start_ratio * N)
+    max_iters,  # [B] per-request lifetime iteration budgets
     *,
     N: int,
     K: int,
@@ -125,6 +127,7 @@ def jacobi_chunk_multiblock(
     W: int,  # pool entry width
     chunk_budget: int,
 ) -> Dict[str, jax.Array]:
+    B = cur_len.shape[0]
     S = 1 + C + (K - 1)  # segments: RA, C candidates, K-1 pseudos
     T = S * N
     jN = jnp.arange(N, dtype=jnp.int32)
@@ -137,29 +140,43 @@ def jacobi_chunk_multiblock(
         blk_base=blk_base, blk_active=blk_active, ra=ra, n_active=n_active,
         pool=pool, pool_len=pool_len, pool_next=pool_next,
         last_next=last_next, eos=eos_in, iters=iters,
-        generated=jnp.asarray(0, jnp.int32),
+        generated=jnp.zeros((B,), jnp.int32),
     )
 
-    def cond(st: MBState):
+    # intra-segment visibility is sequence-independent: same-seg causal;
+    # pseudos see the RA segment + earlier pseudos fully
+    seg_of = jnp.repeat(jnp.arange(S, dtype=jnp.int32), N)
+    idx_in = jnp.tile(jN, S)
+    qs, ks = seg_of[:, None], seg_of[None, :]
+    qi, ki = idx_in[:, None], idx_in[None, :]
+    sees = ((qs == ks) & (ki <= qi)) | (
+        (qs > C) & ((ks == 0) | ((ks > C) & (ks < qs)))
+    )  # [T, T]
+
+    def alive_fn(st: MBState) -> jax.Array:
         return (
             (~st.eos)
             & (st.iters < max_iters)
             & (st.generated < jnp.minimum(chunk_budget, max_new))
             & (st.cur_len + N <= capacity)
-            & (st.cur_len + N < st.tokens.shape[0])
+            & (st.cur_len + N < st.tokens.shape[1])
         )
 
-    def body(st: MBState) -> MBState:
-        ra_i = st.ra
-        ra_draft = st.blk_draft[ra_i]
-        ra_dlen = st.blk_dlen[ra_i]
-        nxt0 = ra_draft[0]
-        newest_pool = (st.pool_next - 1) % C
+    def cond(st: MBState):
+        return jnp.any(alive_fn(st))
 
-        # ---- candidate segments from the n-gram pool ----
+    # ---------------- per-sequence segment assembly ----------------
+    def assemble_seq(blk_draft, blk_dlen, blk_acc, blk_acc_toks, blk_base,
+                     blk_active, ra_i, n_act, pool, pool_len, pool_next,
+                     la_start):
+        ra_draft = blk_draft[ra_i]
+        ra_dlen = blk_dlen[ra_i]
+        nxt0 = ra_draft[0]
+        newest_pool = (pool_next - 1) % C
+
         def build_cand(p):
-            entry = st.pool[p]
-            elen = st.pool_len[p]
+            entry = pool[p]
+            elen = pool_len[p]
             hit = (entry == nxt0) & (jnp.arange(W) < elen)
             has = jnp.any(hit)
             pos = jnp.argmax(hit).astype(jnp.int32)
@@ -171,67 +188,39 @@ def jacobi_chunk_multiblock(
                 has
                 & (p != newest_pool)
                 & (elen > 0)
-                & (st.blk_acc[ra_i] >= lookahead_start)
+                & (blk_acc[ra_i] >= la_start)
                 & (ra_dlen > 1)
             )
             return cand, valid
 
-        cands, cand_valid = jax.vmap(build_cand)(jnp.arange(C))  # [C,N], [C]
+        cands, cand_valid = jax.vmap(build_cand)(jnp.arange(C))
 
-        # ---- pseudo segments: packed [acc_toks | draft] ----
         def build_pseudo(o):
             b = (ra_i + o) % K
-            a = st.blk_acc[b]
-            tok = jnp.where(jN < a, st.blk_acc_toks[b], st.blk_draft[b][jnp.clip(jN - a, 0, N - 1)])
-            vlen = jnp.minimum(a + st.blk_dlen[b], N)
-            active = st.blk_active[b] & (o < st.n_active)
-            return tok, vlen, st.blk_base[b], active
+            a = blk_acc[b]
+            tok = jnp.where(jN < a, blk_acc_toks[b], blk_draft[b][jnp.clip(jN - a, 0, N - 1)])
+            vlen = jnp.minimum(a + blk_dlen[b], N)
+            active = blk_active[b] & (o < n_act)
+            return tok, vlen, blk_base[b], active
 
         ps_tok, ps_vlen, ps_base, ps_active = jax.vmap(build_pseudo)(
             jnp.arange(1, K, dtype=jnp.int32)
-        )  # [K-1, ...]
+        )
 
-        seg_tokens = jnp.concatenate(
-            [ra_draft[None], cands, ps_tok], axis=0
-        )  # [S, N]
-        seg_vlen = jnp.concatenate(
-            [ra_dlen[None], jnp.full((C,), ra_dlen), ps_vlen]
-        )
-        seg_active = jnp.concatenate(
-            [jnp.ones((1,), bool), cand_valid, ps_active]
-        )
-        ra_start = st.blk_base[ra_i] + st.blk_acc[ra_i]
-        seg_start = jnp.concatenate(
-            [ra_start[None], jnp.full((C,), ra_start), ps_base]
-        )
-        seg_pos = seg_start[:, None] + jN[None, :]  # [S, N]
-
+        seg_tokens = jnp.concatenate([ra_draft[None], cands, ps_tok], axis=0)
+        seg_vlen = jnp.concatenate([ra_dlen[None], jnp.full((C,), ra_dlen), ps_vlen])
+        seg_active = jnp.concatenate([jnp.ones((1,), bool), cand_valid, ps_active])
+        ra_start = blk_base[ra_i] + blk_acc[ra_i]
+        seg_start = jnp.concatenate([ra_start[None], jnp.full((C,), ra_start), ps_base])
+        seg_pos = seg_start[:, None] + jN[None, :]
         tok_valid = (jN[None, :] < seg_vlen[:, None]) & seg_active[:, None]
-        out_tokens = jnp.where(tok_valid, seg_tokens, 0).reshape(T)
-        out_pos = seg_pos.reshape(T)
-        tv = tok_valid.reshape(T)
+        return seg_tokens, seg_vlen, seg_active, seg_pos, tok_valid
 
-        # ---- intra mask: same-seg causal; pseudos see RA + earlier pseudos ----
-        seg_of = jnp.repeat(jnp.arange(S, dtype=jnp.int32), N)
-        idx_in = jnp.tile(jN, S)
-        qs, ks = seg_of[:, None], seg_of[None, :]
-        qi, ki = idx_in[:, None], idx_in[None, :]
-        same = (qs == ks) & (ki <= qi)
-        q_pseudo = qs > C
-        k_pseudo = ks > C
-        sees = same | (q_pseudo & ((ks == 0) | (k_pseudo & (ks < qs))))
-        intra = sees & tv[:, None] & tv[None, :]
-
-        h, k_new, v_new = forward_spec(
-            params, cfg, out_tokens[None], out_pos[None], st.kv, block_tables,
-            st.cur_len[None], intra[None], rope,
-        )
-        greedy = greedy_tokens(params, cfg, h[0]).reshape(S, N)  # chunked argmax
-
-        # ---- verify: acc = 1 + leading matches of seg[i+1] vs greedy[i] ----
+    # ---------------- per-sequence verify + state update ----------------
+    def update_seq(seg_tokens, seg_vlen, seg_active, greedy, blk_draft,
+                   blk_dlen, blk_acc, blk_acc_toks, blk_base, blk_active,
+                   ra_i, n_act, pool, pool_len, pool_next, spawn_thr):
         def seg_acc(tok, g, vlen, shift):
-            # acceptance over the tail starting at `shift` (0 for RA/cands,
-            # blk_acc for pseudos whose packed prefix is already accepted)
             t_tok = jnp.take(tok, jnp.clip(shift + jN, 0, N - 1))
             t_g = jnp.take(g, jnp.clip(shift + jN, 0, N - 1))
             tlen = vlen - shift
@@ -241,14 +230,14 @@ def jacobi_chunk_multiblock(
 
         shifts = jnp.concatenate([
             jnp.zeros((1 + C,), jnp.int32),
-            jax.vmap(lambda o: st.blk_acc[(ra_i + o) % K])(jnp.arange(1, K, dtype=jnp.int32)),
+            jax.vmap(lambda o: blk_acc[(ra_i + o) % K])(jnp.arange(1, K, dtype=jnp.int32)),
         ])
         acc_all, t_toks, t_gs, t_lens = jax.vmap(seg_acc)(
             seg_tokens, greedy, seg_vlen, shifts
         )
         acc_all = jnp.where(seg_active & (t_lens > 0), acc_all, 0)
 
-        # ---- RA winner among RA + candidates ----
+        # RA winner among RA + candidates
         w = jnp.argmax(acc_all[: 1 + C]).astype(jnp.int32)
         acc_w = acc_all[w]
         tw, gw, tlen_w = t_toks[w], t_gs[w], t_lens[w]
@@ -260,37 +249,15 @@ def jacobi_chunk_multiblock(
         acc_w = jnp.where(any_eos, first_eos + 1, acc_w)
         eos_hit = any_eos
 
-        # ---- commit winner tokens + K/V ----
-        commit_ok = jN < acc_w
-        tok_idx = jnp.where(commit_ok, st.cur_len + jN, st.tokens.shape[0])
-        tokens2 = st.tokens.at[tok_idx].set(tw, mode="drop")
-
-        page = st.kv.page_size
-        pos_c = st.cur_len + jN
-        page_idx = jnp.take(
-            block_tables[0], jnp.clip(pos_c // page, 0, block_tables.shape[1] - 1)
-        )
-        slots = jnp.where(commit_ok & (page_idx >= 0), page_idx * page + pos_c % page,
-                          st.kv.num_slots)
-        rows = w * N + jN
-        # stash [Lyr, 1, T, KH, D] -> winner rows [Lyr, N, KH, D] -> head-major
-        kw = k_new[:, 0, rows].transpose(0, 2, 1, 3).astype(st.kv.k.dtype)  # [Lyr, KH, N, D]
-        vw = v_new[:, 0, rows].transpose(0, 2, 1, 3).astype(st.kv.v.dtype)
-        new_k = st.kv.k.at[:, :, slots].set(kw, mode="drop")
-        new_v = st.kv.v.at[:, :, slots].set(vw, mode="drop")
-        kv2 = KVCache(new_k, new_v, page)
-
-        cur_len2 = st.cur_len + acc_w
-        generated2 = st.generated + acc_w
-
         rejected = acc_w < tlen_w
         nxt = jnp.where(
             rejected, gw[jnp.maximum(acc_w - 1, 0)], gw[jnp.maximum(tlen_w - 1, 0)]
         )
 
         # RA block update
-        a_old = st.blk_acc[ra_i]
-        acc_toks_ra = st.blk_acc_toks[ra_i].at[
+        commit_ok = jN < acc_w
+        a_old = blk_acc[ra_i]
+        acc_toks_ra = blk_acc_toks[ra_i].at[
             jnp.where(commit_ok, a_old + jN, N)
         ].set(tw, mode="drop")
         new_dlen_ra = jnp.where(rejected & ~eos_hit, tlen_w - acc_w, 0)
@@ -298,31 +265,23 @@ def jacobi_chunk_multiblock(
         nd = jnp.where(jN == 0, nxt, jnp.take(gw, nd_src))
         nd = jnp.where(jN < new_dlen_ra, nd, pad_token_id)
 
-        blk_draft2 = st.blk_draft.at[ra_i].set(nd)
-        blk_dlen2 = st.blk_dlen.at[ra_i].set(new_dlen_ra)
-        blk_acc2 = st.blk_acc.at[ra_i].set(a_old + acc_w)
-        blk_acc_toks2 = st.blk_acc_toks.at[ra_i].set(acc_toks_ra)
+        blk_draft2 = blk_draft.at[ra_i].set(nd)
+        blk_dlen2 = blk_dlen.at[ra_i].set(new_dlen_ra)
+        blk_acc2 = blk_acc.at[ra_i].set(a_old + acc_w)
+        blk_acc_toks2 = blk_acc_toks.at[ra_i].set(acc_toks_ra)
 
-        # nxt itself is EOS -> commit it and stop (reference :598-612)
         nxt_eos = (~eos_hit) & (eos_token_id >= 0) & (nxt == eos_token_id)
-        tokens2 = jnp.where(
-            nxt_eos,
-            tokens2.at[jnp.minimum(cur_len2, tokens2.shape[0] - 1)].set(nxt),
-            tokens2,
-        )
-        cur_len2 = cur_len2 + nxt_eos.astype(jnp.int32)
-        generated2 = generated2 + nxt_eos.astype(jnp.int32)
-        eos2 = st.eos | eos_hit | nxt_eos
+        eos_out = eos_hit | nxt_eos
 
         # ---- pseudo updates ----
         def upd_pseudo(o, carry):
             bd, bl, ba, bat = carry
             b = (ra_i + o) % K
             seg = 1 + C + o - 1
-            active = ps_active[o - 1]
+            active = seg_active[seg]
             acc_p = acc_all[seg]
             tp, gp, tlp = t_toks[seg], t_gs[seg], t_lens[seg]
-            a_p = st.blk_acc[b]
+            a_p = blk_acc[b]
             new_acc_toks = bat[b].at[
                 jnp.where((jN < acc_p) & active, a_p + jN, N)
             ].set(tp, mode="drop")
@@ -337,9 +296,10 @@ def jacobi_chunk_multiblock(
             bat = bat.at[b].set(jnp.where(active, new_acc_toks, bat[b]))
             return bd, bl, ba, bat
 
-        blk_draft2, blk_dlen2, blk_acc2, blk_acc_toks2 = lax.fori_loop(
-            1, K, upd_pseudo, (blk_draft2, blk_dlen2, blk_acc2, blk_acc_toks2)
-        ) if K > 1 else (blk_draft2, blk_dlen2, blk_acc2, blk_acc_toks2)
+        if K > 1:
+            blk_draft2, blk_dlen2, blk_acc2, blk_acc_toks2 = lax.fori_loop(
+                1, K, upd_pseudo, (blk_draft2, blk_dlen2, blk_acc2, blk_acc_toks2)
+            )
 
         # ---- n-gram pool append (rejected RA only, reference :562-575) ----
         def pool_append(pool, pool_len, pool_next, entry, elen, do):
@@ -348,17 +308,18 @@ def jacobi_chunk_multiblock(
             pool_len = pool_len.at[idx].set(elen, mode="drop")
             return pool, pool_len, pool_next + do.astype(jnp.int32)
 
-        # entry 1: global concat of all blocks' [acc|draft], compacted
         def blk_piece(o):
             b = (ra_i + o) % K
             a = blk_acc2[b]
             tok = jnp.where(jN < a, blk_acc_toks2[b], blk_draft2[b][jnp.clip(jN - a, 0, N - 1)])
             valid = (jN < jnp.minimum(a + blk_dlen2[b], N)) & (
-                (o == 0) | (st.blk_active[(ra_i + o) % K] & (o < st.n_active))
+                (o == 0) | (blk_active[(ra_i + o) % K] & (o < n_act))
             )
             return tok, valid
 
-        pieces_tok, pieces_valid = jax.vmap(blk_piece)(jnp.arange(min(K, W // N), dtype=jnp.int32))
+        pieces_tok, pieces_valid = jax.vmap(blk_piece)(
+            jnp.arange(min(K, W // N), dtype=jnp.int32)
+        )
         flat_tok = pieces_tok.reshape(-1)[:W]
         flat_val = pieces_valid.reshape(-1)[:W]
         if flat_tok.shape[0] < W:  # K == 1: single block narrower than W
@@ -366,12 +327,11 @@ def jacobi_chunk_multiblock(
             flat_tok = jnp.concatenate([flat_tok, jnp.zeros((padn,), jnp.int32)])
             flat_val = jnp.concatenate([flat_val, jnp.zeros((padn,), bool)])
         concat_entry, concat_len = _compact(flat_tok, flat_val)
-        do_pool = rejected & ~eos2
+        do_pool = rejected & ~eos_out
         pool2, pool_len2, pool_next2 = pool_append(
-            st.pool, st.pool_len, st.pool_next, concat_entry, concat_len,
+            pool, pool_len, pool_next, concat_entry, concat_len,
             do_pool & (concat_len > 0),
         )
-        # entry 2: RA rejected greedy tail gw[acc_w : tlen_w - 1]
         tail_len = jnp.maximum(tlen_w - 1 - acc_w, 0)
         tail = jnp.take(gw, jnp.clip(acc_w + jnp.arange(W), 0, N - 1))
         tail = jnp.where(jnp.arange(W) < tail_len, tail, pad_token_id)
@@ -380,80 +340,154 @@ def jacobi_chunk_multiblock(
         )
 
         # ---- spawn (reference :629-653) ----
-        newest = (ra_i + st.n_active - 1) % K
-        can_spawn = (
-            (blk_acc2[newest] >= spawn_threshold) & (st.n_active < K) & (~eos2)
-        )
-        new_slot = (ra_i + st.n_active) % K
+        newest = (ra_i + n_act - 1) % K
+        can_spawn = (blk_acc2[newest] >= spawn_thr) & (n_act < K) & (~eos_out)
+        new_slot = (ra_i + n_act) % K
         spawn_draft = jnp.where(jN < new_dlen_ra, nd, pad_token_id)
         blk_draft2 = blk_draft2.at[new_slot].set(
-            jnp.where(can_spawn, spawn_draft, blk_draft2[new_slot])
-        )
+            jnp.where(can_spawn, spawn_draft, blk_draft2[new_slot]))
         blk_dlen2 = blk_dlen2.at[new_slot].set(
-            jnp.where(can_spawn, N, blk_dlen2[new_slot])
-        )
+            jnp.where(can_spawn, N, blk_dlen2[new_slot]))
         blk_acc2 = blk_acc2.at[new_slot].set(
-            jnp.where(can_spawn, 0, blk_acc2[new_slot])
-        )
+            jnp.where(can_spawn, 0, blk_acc2[new_slot]))
         blk_acc_toks2 = blk_acc_toks2.at[new_slot].set(
-            jnp.where(can_spawn, jnp.zeros((N,), jnp.int32), blk_acc_toks2[new_slot])
-        )
-        blk_base2 = st.blk_base.at[new_slot].set(
-            jnp.where(can_spawn, st.blk_base[newest] + N, st.blk_base[new_slot])
-        )
-        blk_active2 = st.blk_active.at[new_slot].set(
-            jnp.where(can_spawn, True, st.blk_active[new_slot])
-        )
-        n_active2 = st.n_active + can_spawn.astype(jnp.int32)
+            jnp.where(can_spawn, jnp.zeros((N,), jnp.int32), blk_acc_toks2[new_slot]))
+        blk_base2 = blk_base.at[new_slot].set(
+            jnp.where(can_spawn, blk_base[newest] + N, blk_base[new_slot]))
+        blk_active2 = blk_active.at[new_slot].set(
+            jnp.where(can_spawn, True, blk_active[new_slot]))
+        n_act2 = n_act + can_spawn.astype(jnp.int32)
 
         # ---- promotion on RA completion (reference :656-713) ----
-        complete = (blk_acc2[ra_i] >= N) & (~eos2)
-        has_pseudo = n_active2 > 1
+        complete = (blk_acc2[ra_i] >= N) & (~eos_out)
+        has_pseudo = n_act2 > 1
         b2 = (ra_i + 1) % K
-
-        # promoted draft = [last_next | packed(acc+tail)[1:]], acceptance reset
         a_b2 = blk_acc2[b2]
         packed_b2 = jnp.where(
             jN < a_b2, blk_acc_toks2[b2], blk_draft2[b2][jnp.clip(jN - a_b2, 0, N - 1)]
         )
-        promo_draft = jnp.where(
-            jN == 0, nxt, jnp.take(packed_b2, jnp.clip(jN, 0, N - 1))
-        )
-        # fresh-RA draft when no pseudo exists
+        promo_draft = jnp.where(jN == 0, nxt, jnp.take(packed_b2, jnp.clip(jN, 0, N - 1)))
         fresh_draft = jnp.where(jN == 0, nxt, pad_token_id)
-
         prom = complete & has_pseudo
         fresh = complete & ~has_pseudo
 
-        blk_active2 = blk_active2.at[ra_i].set(
-            jnp.where(prom, False, blk_active2[ra_i])
-        )
+        blk_active2 = blk_active2.at[ra_i].set(jnp.where(prom, False, blk_active2[ra_i]))
         blk_draft2 = blk_draft2.at[b2].set(jnp.where(prom, promo_draft, blk_draft2[b2]))
         blk_dlen2 = blk_dlen2.at[b2].set(jnp.where(prom, N, blk_dlen2[b2]))
         blk_acc2 = blk_acc2.at[b2].set(jnp.where(prom, 0, blk_acc2[b2]))
         blk_acc_toks2 = blk_acc_toks2.at[b2].set(
-            jnp.where(prom, jnp.zeros((N,), jnp.int32), blk_acc_toks2[b2])
-        )
-        # fresh RA in place
+            jnp.where(prom, jnp.zeros((N,), jnp.int32), blk_acc_toks2[b2]))
         blk_draft2 = blk_draft2.at[ra_i].set(jnp.where(fresh, fresh_draft, blk_draft2[ra_i]))
         blk_dlen2 = blk_dlen2.at[ra_i].set(jnp.where(fresh, N, blk_dlen2[ra_i]))
         blk_acc2 = blk_acc2.at[ra_i].set(jnp.where(fresh, 0, blk_acc2[ra_i]))
         blk_acc_toks2 = blk_acc_toks2.at[ra_i].set(
-            jnp.where(fresh, jnp.zeros((N,), jnp.int32), blk_acc_toks2[ra_i])
-        )
+            jnp.where(fresh, jnp.zeros((N,), jnp.int32), blk_acc_toks2[ra_i]))
         blk_base2 = blk_base2.at[ra_i].set(
-            jnp.where(fresh, blk_base2[ra_i] + N, blk_base2[ra_i])
-        )
+            jnp.where(fresh, blk_base2[ra_i] + N, blk_base2[ra_i]))
         ra2 = jnp.where(prom, b2, ra_i)
-        n_active2 = jnp.where(prom, n_active2 - 1, n_active2)
+        n_act2 = jnp.where(prom, n_act2 - 1, n_act2)
+
+        return dict(
+            blk_draft=blk_draft2, blk_dlen=blk_dlen2, blk_acc=blk_acc2,
+            blk_acc_toks=blk_acc_toks2, blk_base=blk_base2,
+            blk_active=blk_active2, ra=ra2, n_active=n_act2, pool=pool2,
+            pool_len=pool_len2, pool_next=pool_next2, last_next=nxt,
+            eos_hit=eos_out, nxt_eos=nxt_eos, w=w, acc_w=acc_w, tw=tw,
+        )
+
+    def body(st: MBState) -> MBState:
+        alive = alive_fn(st)
+
+        seg_tokens, seg_vlen, seg_active, seg_pos, tok_valid = jax.vmap(
+            assemble_seq
+        )(st.blk_draft, st.blk_dlen, st.blk_acc, st.blk_acc_toks, st.blk_base,
+          st.blk_active, st.ra, st.n_active, st.pool, st.pool_len,
+          st.pool_next, lookahead_start)
+
+        out_tokens = jnp.where(tok_valid, seg_tokens, 0).reshape(B, T)
+        out_pos = seg_pos.reshape(B, T)
+        tv = tok_valid.reshape(B, T)
+        intra = sees[None] & tv[:, :, None] & tv[:, None, :]
+
+        h, k_new, v_new = forward_spec(
+            params, cfg, out_tokens, out_pos, st.kv, block_tables,
+            st.cur_len, intra, rope,
+        )
+        greedy = greedy_tokens(params, cfg, h).reshape(B, S, N)
+
+        upd = jax.vmap(update_seq)(
+            seg_tokens, seg_vlen, seg_active, greedy, st.blk_draft,
+            st.blk_dlen, st.blk_acc, st.blk_acc_toks, st.blk_base,
+            st.blk_active, st.ra, st.n_active, st.pool, st.pool_len,
+            st.pool_next, spawn_threshold,
+        )
+        acc_w = jnp.where(alive, upd["acc_w"], 0)  # [B]
+        tw = upd["tw"]  # [B, N]
+        w = upd["w"]  # [B]
+
+        # ---- shared commits: token buffers + paged KV ----
+        jB = jnp.arange(B)
+        commit_ok = (jN[None, :] < acc_w[:, None]) & alive[:, None]
+        tok_idx = jnp.where(
+            commit_ok, st.cur_len[:, None] + jN[None, :], st.tokens.shape[1]
+        )
+        tokens2 = st.tokens.at[jB[:, None], tok_idx].set(tw, mode="drop")
+
+        page = st.kv.page_size
+        pos_c = st.cur_len[:, None] + jN[None, :]
+        page_idx = jnp.take_along_axis(
+            block_tables, jnp.clip(pos_c // page, 0, block_tables.shape[1] - 1),
+            axis=1,
+        )
+        slots = jnp.where(
+            commit_ok & (page_idx >= 0), page_idx * page + pos_c % page,
+            st.kv.num_slots,
+        )  # [B, N]
+        rows = w[:, None] * N + jN[None, :]  # [B, N] winner rows within out
+        # stash [Lyr, B, T, KH, D] -> winner rows [Lyr, B, N, KH, D] -> head-major flat
+        kw = jnp.take_along_axis(k_new, rows[None, :, :, None, None], axis=2)
+        vw = jnp.take_along_axis(v_new, rows[None, :, :, None, None], axis=2)
+        Lyr, _, _, KH, D = kw.shape
+        kw = kw.transpose(0, 3, 1, 2, 4).reshape(Lyr, KH, B * N, D).astype(st.kv.k.dtype)
+        vw = vw.transpose(0, 3, 1, 2, 4).reshape(Lyr, KH, B * N, D).astype(st.kv.v.dtype)
+        flat_slots = slots.reshape(B * N)
+        new_k = st.kv.k.at[:, :, flat_slots].set(kw, mode="drop")
+        new_v = st.kv.v.at[:, :, flat_slots].set(vw, mode="drop")
+        kv2 = KVCache(new_k, new_v, page)
+
+        cur_len2 = st.cur_len + acc_w
+        generated2 = st.generated + acc_w
+
+        # nxt itself is EOS -> commit it and stop (reference :598-612)
+        nxt_eos = upd["nxt_eos"] & alive
+        tok_pos = jnp.where(nxt_eos, cur_len2, st.tokens.shape[1])
+        tokens2 = tokens2.at[jB, tok_pos].set(upd["last_next"], mode="drop")
+        cur_len2 = cur_len2 + nxt_eos.astype(jnp.int32)
+        generated2 = generated2 + nxt_eos.astype(jnp.int32)
+        eos2 = st.eos | (alive & (upd["eos_hit"] | nxt_eos))
+
+        def gate(new, old):
+            a = alive.reshape((B,) + (1,) * (new.ndim - 1))
+            return jnp.where(a, new, old)
 
         return MBState(
-            kv=kv2, tokens=tokens2, cur_len=cur_len2, blk_draft=blk_draft2,
-            blk_dlen=blk_dlen2, blk_acc=blk_acc2, blk_acc_toks=blk_acc_toks2,
-            blk_base=blk_base2, blk_active=blk_active2, ra=ra2,
-            n_active=n_active2, pool=pool2, pool_len=pool_len2,
-            pool_next=pool_next2, last_next=nxt, eos=eos2,
-            iters=st.iters + 1, generated=generated2,
+            kv=kv2, tokens=tokens2,
+            cur_len=jnp.where(alive, cur_len2, st.cur_len),
+            blk_draft=gate(upd["blk_draft"], st.blk_draft),
+            blk_dlen=gate(upd["blk_dlen"], st.blk_dlen),
+            blk_acc=gate(upd["blk_acc"], st.blk_acc),
+            blk_acc_toks=gate(upd["blk_acc_toks"], st.blk_acc_toks),
+            blk_base=gate(upd["blk_base"], st.blk_base),
+            blk_active=gate(upd["blk_active"], st.blk_active),
+            ra=jnp.where(alive, upd["ra"], st.ra),
+            n_active=jnp.where(alive, upd["n_active"], st.n_active),
+            pool=gate(upd["pool"], st.pool),
+            pool_len=gate(upd["pool_len"], st.pool_len),
+            pool_next=jnp.where(alive, upd["pool_next"], st.pool_next),
+            last_next=jnp.where(alive, upd["last_next"], st.last_next),
+            eos=eos2,
+            iters=st.iters + alive.astype(jnp.int32),
+            generated=jnp.where(alive, generated2, st.generated),
         )
 
     st = lax.while_loop(cond, body, state)

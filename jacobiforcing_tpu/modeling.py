@@ -126,28 +126,34 @@ def jacobi_generate_multiblock(
         jnp.asarray([P + N]), jnp.asarray([P]), kv, bt, n_out=N,
     )
     pf = np.asarray(pf)[0]
-    tokens = np.zeros((cap,), np.int32)
-    tokens[:P] = prompt_ids
-    blk_draft = np.zeros((K, N), np.int32)
-    blk_draft[0] = pf[:N]
+    tokens = np.zeros((1, cap), np.int32)
+    tokens[0, :P] = prompt_ids
+    blk_draft = np.zeros((1, K, N), np.int32)
+    blk_draft[0, 0] = pf[:N]
     res = jacobi_chunk_multiblock(
-        params, cfg, rope, kv, jnp.asarray(tokens), jnp.int32(P),
-        jnp.asarray(blk_draft), jnp.asarray([N] + [0] * (K - 1), jnp.int32),
-        jnp.zeros((K,), jnp.int32), jnp.zeros((K, N), jnp.int32),
-        jnp.asarray([P] + [0] * (K - 1), jnp.int32),
-        jnp.asarray([True] + [False] * (K - 1)), jnp.int32(0), jnp.int32(1),
-        jnp.zeros((C, W), jnp.int32), jnp.zeros((C,), jnp.int32), jnp.int32(0),
-        jnp.int32(pf[0]), jnp.asarray(False), jnp.int32(0), bt,
-        jnp.int32(capacity), jnp.int32(max_new_tokens), eos_token_id, pad_token_id,
-        int(math.ceil(r * N)), int(math.ceil(lookahead_start_ratio * N)),
-        jnp.int32(max_iterations),
+        params, cfg, rope, kv, jnp.asarray(tokens),
+        jnp.asarray([P], jnp.int32),
+        jnp.asarray(blk_draft),
+        jnp.asarray([[N] + [0] * (K - 1)], jnp.int32),
+        jnp.zeros((1, K), jnp.int32), jnp.zeros((1, K, N), jnp.int32),
+        jnp.asarray([[P] + [0] * (K - 1)], jnp.int32),
+        jnp.asarray([[True] + [False] * (K - 1)]),
+        jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+        jnp.zeros((1, C, W), jnp.int32), jnp.zeros((1, C), jnp.int32),
+        jnp.zeros((1,), jnp.int32), jnp.asarray([pf[0]], jnp.int32),
+        jnp.zeros((1,), bool), jnp.zeros((1,), jnp.int32), bt,
+        jnp.asarray([capacity], jnp.int32), jnp.asarray([max_new_tokens], jnp.int32),
+        eos_token_id, pad_token_id,
+        jnp.asarray([int(math.ceil(r * N))], jnp.int32),
+        jnp.asarray([int(math.ceil(lookahead_start_ratio * N))], jnp.int32),
+        jnp.asarray([max_iterations], jnp.int32),
         N=N, K=K, C=C, W=W, chunk_budget=max_new_tokens,
     )
-    out = np.asarray(res["tokens"])[P : int(res["cur_len"])].tolist()
-    iters = int(res["iters"])
+    out = np.asarray(res["tokens"])[0, P : int(res["cur_len"][0])].tolist()
+    iters = int(res["iters"][0])
     stats = {
         "iterations": iters,
         "tokens_per_forward": len(out) / max(iters, 1),
-        "eos": bool(res["eos"]),
+        "eos": bool(res["eos"][0]),
     }
     return out, stats

@@ -56,3 +56,18 @@ def test_mr_makes_multi_token_progress():
     out = eng.generate(prompts, _mr_sp(24))
     assert len(out[0]["token_ids"]) >= 24
     assert eng.stats["generated_tokens"] >= eng.stats["jacobi_iterations"]
+
+
+def test_mr_batched_equals_individual():
+    """A BATCH of MR requests (mixed prompt lengths) must decode to exactly
+    the per-request outputs, sharing device chunks (the reference cannot batch
+    MR at all)."""
+    prompts = make_prompts(256)  # 4 prompts, lengths 5/9/17/3
+    sp = _mr_sp(20)
+    eng = make_engine(num_pages=512)
+    batch_out = eng.generate(prompts, sp)
+    # batched: one chunk call per engine step for the whole group
+    assert eng.stats["chunk_calls"] < 4 * 3
+    for i, p in enumerate(prompts):
+        solo = make_engine(num_pages=512).generate([p], sp)
+        assert batch_out[i]["token_ids"] == solo[0]["token_ids"], i
