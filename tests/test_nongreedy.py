@@ -82,3 +82,31 @@ def test_nongreedy_progress_and_lengths():
     assert eng.stats["jacobi_iterations"] > 0
     # >= 1 token per iteration guaranteed by the RS commit rule
     assert eng.stats["generated_tokens"] >= eng.stats["jacobi_iterations"]
+
+
+def test_nongreedy_large_vocab_chunked_path():
+    """vocab > the argmax/logprob chunk size exercises the online-logsumexp
+    scan paths end to end (the runner uses default chunk=32768)."""
+    import jax
+    from jacobiforcing_tpu.config import Config
+    from jacobiforcing_tpu.engine.llm_engine import LLMEngine
+    from jacobiforcing_tpu.models.qwen import ModelConfig, init_params
+
+    mc = ModelConfig.tiny(vocab_size=40_000)
+    params = init_params(mc, jax.random.PRNGKey(0))
+    cfg = Config(kvcache_page_size=16, max_model_len=128, jacobi_chunk_tokens=16,
+                 prefill_token_buckets=(32,), eos=-1)
+    eng = LLMEngine(cfg, model_cfg=mc, params=params, num_kv_pages=64)
+    prompts = [[5, 7, 11, 13, 17]]
+    # greedy jacobi == greedy AR through the chunked argmax
+    ar = eng.generate(prompts, SamplingParams(temperature=0.0, max_tokens=10))
+    ja = eng.generate(prompts, SamplingParams(
+        temperature=0.0, max_tokens=10, decode_strategy="jacobi",
+        jacobi_block_len=8, jacobi_max_blocks=1))
+    assert ar[0]["token_ids"] == ja[0]["token_ids"]
+    # nongreedy memory-light verify (chunked logprob) produces valid tokens
+    rs = eng.generate(prompts, SamplingParams(
+        temperature=1.0, max_tokens=10, decode_strategy="jacobi_nongreedy",
+        jacobi_block_len=8, jacobi_max_blocks=1))
+    assert len(rs[0]["token_ids"]) == 10
+    assert all(0 <= t < 40_000 for t in rs[0]["token_ids"])
