@@ -8,8 +8,10 @@ HF tensor name into the stacked pytree layout of `models.qwen.init_params`
 [in, out] for x @ W).
 
 Also exports `save_checkpoint` (HF-layout safetensors) so tests can round-trip
-without network access, and the DeepSpeed-merge analog is unnecessary: orbax
-handles sharded training checkpoints (see train/checkpoint.py).
+without network access.  The DeepSpeed ZeRO->HF merge tool
+(generate_trajectory/data/tool_merge_ds_ckpts.py:1-45) has no analog here:
+train/trainer.py checkpoints the full unsharded pytree via flax serialization,
+and `save_checkpoint` emits the HF layout directly.
 """
 
 from __future__ import annotations
