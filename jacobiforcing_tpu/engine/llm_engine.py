@@ -223,8 +223,65 @@ class LLMEngine:
             bt[i, : len(tab)] = tab
         return jnp.asarray(bt)
 
+    def _draft_len(self, s: Sequence) -> int:
+        return (
+            s.sampling_params.jacobi_block_len
+            if s.sampling_params.decode_strategy.startswith("jacobi")
+            else 0
+        )
+
+    def _prefill_segment(self, seqs: List[Sequence], max_T: int) -> None:
+        """Forward one bounded segment of each long uncached prompt suffix.
+
+        Chunked prefill: the reference lacks it (model_runner.py:714-768
+        forwards the whole suffix in one varlen batch); here each segment is
+        at most `max_T` tokens so prefill memory stays bounded and prompts
+        near max_model_len never overflow the compile bucket.  Each segment
+        leaves >= 1 uncached token so the final (draft-appended) pass still
+        gathers logits at prompt_len-1."""
+        B = _bucket(len(seqs), self.config.batch_buckets)
+        seg_lens = [
+            min(len(s) - s.num_cached_tokens - 1, max_T) for s in seqs
+        ]
+        T = _bucket(max(seg_lens), self.config.prefill_token_buckets)
+        ids = np.zeros((B, T), np.int32)
+        starts = np.zeros((B,), np.int32)
+        totals = np.ones((B,), np.int32)
+        for i, s in enumerate(seqs):
+            c = s.num_cached_tokens
+            ids[i, : seg_lens[i]] = s.token_ids[c : c + seg_lens[i]]
+            starts[i] = c
+            totals[i] = c + seg_lens[i]
+        bt = self._pad_block_table(seqs, B)
+        prof = get_profiler()
+        if prof:
+            prof.record_bucket("prefill_segment", (B, T))
+            prof.start("prefill.forward")
+        self.kv, last_logits, _ = runner.prefill(
+            self.params, self.model_cfg, self.rope, jnp.asarray(ids),
+            jnp.asarray(starts), jnp.asarray(totals), jnp.asarray(totals),
+            self.kv, bt, n_out=1,
+        )
+        if prof:
+            last_logits.block_until_ready()
+            prof.stop("prefill.forward")
+        for i, s in enumerate(seqs):
+            s.num_cached_tokens += seg_lens[i]
+        self.stats["prefill_tokens"] += sum(seg_lens)
+
     def _run_prefill(self, seqs: List[Sequence]) -> None:
         cfgb = self.config.batch_buckets
+        # Chunked prefill for prompts whose uncached suffix (+ Jacobi draft)
+        # exceeds the largest prefill bucket.
+        max_T = self.config.prefill_token_buckets[-1]
+        while True:
+            todo = [
+                s for s in seqs
+                if len(s) - s.num_cached_tokens + self._draft_len(s) > max_T
+            ]
+            if not todo:
+                break
+            self._prefill_segment(todo, max_T)
         jac_Ls = [
             s.sampling_params.jacobi_block_len
             for s in seqs
@@ -249,10 +306,15 @@ class LLMEngine:
             totals.append(len(s) + L)
             prompts_l.append(len(s))
 
-        T = _bucket(max(len(x) for x in suffixes), self.config.prefill_token_buckets)
+        max_suffix = max(len(x) for x in suffixes)
+        T = _bucket(max_suffix, self.config.prefill_token_buckets)
+        # the segment loop above guarantees every suffix fits the bucket;
+        # assert instead of silently truncating (round-1 bug: near-max-length
+        # prompts dropped their tail while totals claimed the full length)
+        assert max_suffix <= T, f"prefill suffix {max_suffix} > bucket {T}"
         ids = np.zeros((B, T), np.int32)
         for i, x in enumerate(suffixes):
-            ids[i, : len(x)] = x[:T]
+            ids[i, : len(x)] = x
         starts_a = np.zeros((B,), np.int32)
         totals_a = np.ones((B,), np.int32)
         prompts_a = np.ones((B,), np.int32)

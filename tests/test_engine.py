@@ -145,3 +145,42 @@ def chex_close(a, b):
         np.testing.assert_allclose(
             np.asarray(x, np.float32), np.asarray(y, np.float32), rtol=1e-5, atol=1e-6
         )
+
+
+def test_chunked_prefill_long_prompt_exact_match():
+    """Prompts whose suffix exceeds the largest prefill bucket are prefilled
+    through bounded segments — and still match an engine whose bucket fits the
+    whole prompt (round-1 bug: the tail was silently truncated)."""
+    long_prompt = make_prompts(256, sizes=(200,), rng=3)[0]
+    short = make_prompts(256, sizes=(9,), rng=4)[0]
+    sp_ar = SamplingParams(temperature=0.0, max_tokens=20)
+    sp_jac = SamplingParams(
+        temperature=0.0, max_tokens=20, decode_strategy="jacobi",
+        jacobi_block_len=8, jacobi_max_blocks=1, jacobi_max_iterations=512,
+    )
+
+    # oracle: buckets large enough that no chunking happens
+    big = make_engine(prefill_token_buckets=(256,)).generate(
+        [long_prompt, short], [sp_ar, sp_ar]
+    )
+    # chunked: largest bucket (64) < suffix (200) forces the segment loop
+    small_ar = make_engine(prefill_token_buckets=(32, 64)).generate(
+        [long_prompt, short], [sp_ar, sp_ar]
+    )
+    small_jac = make_engine(prefill_token_buckets=(32, 64)).generate(
+        [long_prompt, short], [sp_jac, sp_jac]
+    )
+    for o, a, j in zip(big, small_ar, small_jac):
+        assert o["token_ids"] == a["token_ids"]
+        assert o["token_ids"] == j["token_ids"]
+
+
+def test_prefill_near_max_model_len():
+    """prompt_len = max_model_len - 1: prefill must not truncate (the engine
+    clamps max_tokens to the remaining room = 1)."""
+    prompt = make_prompts(256, sizes=(255,), rng=5)[0]
+    sp = SamplingParams(temperature=0.0, max_tokens=8)
+    big = make_engine(prefill_token_buckets=(256,)).generate([prompt], sp)
+    small = make_engine(prefill_token_buckets=(32, 64)).generate([prompt], sp)
+    assert len(big[0]["token_ids"]) == 1
+    assert big[0]["token_ids"] == small[0]["token_ids"]
