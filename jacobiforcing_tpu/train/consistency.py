@@ -305,7 +305,41 @@ def make_train_step(
 ):
     """Jitted (params, opt_state, rope, batch[, static_layout]) ->
     (params, opt_state, metrics).  `static_layout` is required (and triggers a
-    compile per distinct value) only with tc.attn_impl == "splash"."""
+    compile per distinct value) only with tc.attn_impl == "splash".
+
+    With `mesh=None`, `batch` is ONE packed sample (prepare_sample output,
+    no leading batch dim).  With a mesh, every `batch` leaf carries a leading
+    global batch dim B (B % mesh.shape["data"] == 0): samples are sharded over
+    the "data" axis and the loss is the mean over B, so XLA compiles the
+    cross-device gradient psum — the data parallelism the reference gets from
+    torchrun ranks + DeepSpeed ZeRO-3
+    (scripts/train/train_jacobi_forcing_coder_n32.sh:10-38).  Works with
+    fsdp-sharded params (shard_params(..., fsdp=True)): ZeRO-3-style param +
+    optimizer-state sharding composes with the batch sharding."""
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+        def batched_loss(p, rope, batch, static_layout):
+            totals, metrics = jax.vmap(
+                lambda b: consistency_losses(p, cfg, tc, rope, b, static_layout)
+            )(batch)
+            return jnp.mean(totals), jax.tree.map(jnp.mean, metrics)
+
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
+        def dp_step(params, opt_state, rope, batch, static_layout=None):
+            batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+            (loss, metrics), grads = jax.value_and_grad(
+                batched_loss, has_aux=True
+            )(params, rope, batch, static_layout)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics["loss"] = loss
+            return params, opt_state, metrics
+
+        return dp_step
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
     def step(params, opt_state, rope, batch, static_layout=None):

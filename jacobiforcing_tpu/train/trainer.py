@@ -53,6 +53,10 @@ class TrainerArgs:
     distill_temperature: float = 1.0
     seq_bucket: int = 4096
     resume: bool = True
+    # Global batch: packed samples consumed per optimizer step.  With a mesh,
+    # samples shard over the "data" axis (the reference's torchrun 4-8 rank
+    # data parallelism); 0 = auto (one sample per data-axis row).
+    global_batch: int = 0
 
 
 class JacobianDataset:
@@ -143,9 +147,15 @@ def train(
     dataset: Optional[Any] = None,
     eos_id: int = -1,
     pad_id: int = 0,
+    mesh=None,
     log_fn=print,
 ) -> Dict[str, Any]:
-    """Run the training loop; returns {params, metrics_history}."""
+    """Run the training loop; returns {params, metrics_history}.
+
+    With a `mesh`, params are fsdp-sharded over "data" (ZeRO-3 analog) and
+    each optimizer step consumes `global_batch` packed samples sharded over
+    the data axis (reference: torchrun ranks + DeepSpeed,
+    train_jacobi_forcing_coder_n32.sh:10-38)."""
     if params is None:
         if args.target_model_path:
             model_cfg, params = load_checkpoint(args.target_model_path)
@@ -155,12 +165,27 @@ def train(
     dataset = dataset if dataset is not None else JacobianDataset(args.data_path)
     rope = rope_table(model_cfg)
 
+    gb = 1
+    if mesh is not None:
+        dp = mesh.shape.get("data", 1)
+        gb = args.global_batch if args.global_batch > 0 else dp
+        assert gb % dp == 0, f"global_batch {gb} not divisible by dp={dp}"
+        if gb > 1:
+            assert args.attn_impl == "dense", (
+                "data-parallel batching shares one static layout; use dense "
+                "attention (splash layouts are per-sample)"
+            )
+        from jacobiforcing_tpu.parallel.sharding import shard_params
+
+        params = shard_params(params, model_cfg, mesh, fsdp=True)
+
     # max_steps (when set) is authoritative; otherwise num_epochs bounds
+    steps_per_epoch = max(len(dataset) // gb, 1)
     if args.max_steps > 0:
         n_total = args.max_steps
-        n_epochs = (args.max_steps + len(dataset) - 1) // len(dataset) + 1
+        n_epochs = (args.max_steps + steps_per_epoch - 1) // steps_per_epoch + 1
     else:
-        n_total = len(dataset) * args.num_epochs
+        n_total = steps_per_epoch * args.num_epochs
         n_epochs = args.num_epochs
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
@@ -180,7 +205,7 @@ def train(
         seq_bucket=args.seq_bucket,
         attn_impl=args.attn_impl,
     )
-    step_fn = make_train_step(model_cfg, tc, optimizer)
+    step_fn = make_train_step(model_cfg, tc, optimizer, mesh)
     opt_state = optimizer.init(params)
 
     start_step = 0
@@ -199,16 +224,27 @@ def train(
         if done:
             break
         np.random.RandomState(args.seed + epoch).shuffle(order)
-        for idx in order:
+        for g in range(0, len(order) - gb + 1, gb):
             if step >= n_total:
                 done = True
                 break
-            row = dataset[int(idx)]
-            batch_np = prepare_sample(
-                row["input_ids"], row["prompt_len"], row["T"], tc,
-                eos_id=eos_id, pad_id=pad_id,
-            )
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            rows = [dataset[int(i)] for i in order[g : g + gb]]
+            samples = [
+                prepare_sample(
+                    r["input_ids"], r["prompt_len"], r["T"], tc,
+                    eos_id=eos_id, pad_id=pad_id,
+                )
+                for r in rows
+            ]
+            if mesh is None:
+                batch_np = samples[0]
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            else:
+                batch_np = samples[0]
+                batch = {
+                    k: jnp.asarray(np.stack([s[k] for s in samples]))
+                    for k in samples[0]
+                }
             layout = (
                 (int(batch_np["prompt_len"]), int(batch_np["T"]), int(batch_np["seq_len"]))
                 if tc.attn_impl == "splash" else None

@@ -212,3 +212,74 @@ def test_trainer_variants_e2e(tmp_path):
         losses = [h["loss"] for h in res["history"]]
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], (variant, losses)
+
+
+def test_dp_step_matches_global_batch_gradient():
+    """The mesh-sharded dp step must equal a single-device step on the mean
+    loss over the same global batch (true data parallelism, not param-only
+    sharding)."""
+    from jacobiforcing_tpu.parallel.mesh import make_mesh
+    from jacobiforcing_tpu.parallel.sharding import shard_params
+
+    cfg = ModelConfig.tiny(dtype=jnp.float32)
+    rope = rope_table(cfg)
+    tc = _tc()
+    rng = np.random.RandomState(7)
+    samples = [prepare_sample(_make_row(rng), P, T, tc) for _ in range(4)]
+    batch = {k: jnp.asarray(np.stack([s[k] for s in samples])) for k in samples[0]}
+
+    opt = optax.adamw(1e-3)
+
+    # single-device oracle: grad of mean loss over the 4 samples
+    params_ref = init_params(cfg, jax.random.PRNGKey(0))
+    opt_ref = opt.init(params_ref)
+
+    def mean_loss(p):
+        totals, _ = jax.vmap(
+            lambda b: consistency_losses(p, cfg, tc, rope, b)
+        )(batch)
+        return jnp.mean(totals)
+
+    loss_ref, g = jax.value_and_grad(mean_loss)(params_ref)
+    upd, _ = opt.update(g, opt_ref, params_ref)
+    params_ref = optax.apply_updates(params_ref, upd)
+
+    # dp step over a 4x2 mesh with fsdp-sharded params
+    mesh = make_mesh(tensor_parallel_size=2, data_parallel_size=4)
+    params_dp = shard_params(init_params(cfg, jax.random.PRNGKey(0)), cfg, mesh, fsdp=True)
+    opt_state = opt.init(params_dp)
+    step = make_train_step(cfg, tc, opt, mesh)
+    params_dp, _, metrics = step(params_dp, opt_state, rope, batch)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_dp), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_trainer_loop_dp(tmp_path):
+    """train() with a mesh consumes global_batch samples per step."""
+    from jacobiforcing_tpu.parallel.mesh import make_mesh
+    from jacobiforcing_tpu.train.trainer import TrainerArgs, train
+
+    cfg = ModelConfig.tiny(dtype=jnp.float32)
+    rng = np.random.RandomState(9)
+    rows = [{"input_ids": _make_row(rng), "prompt_len": P, "T": T} for _ in range(8)]
+
+    class DS:
+        def __len__(self):
+            return len(rows)
+
+        def __getitem__(self, i):
+            return rows[i]
+
+    mesh = make_mesh(tensor_parallel_size=1, data_parallel_size=4)
+    args = TrainerArgs(
+        output_dir=str(tmp_path / "dp"), max_new_tokens=N, seq_bucket=64,
+        max_steps=4, save_steps=100, log_steps=1, learning_rate=3e-4,
+        global_batch=0, resume=False,
+    )
+    res = train(args, model_cfg=cfg, dataset=DS(), mesh=mesh, log_fn=lambda *_: None)
+    assert res["step"] == 4
+    losses = [h["loss"] for h in res["history"]]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
