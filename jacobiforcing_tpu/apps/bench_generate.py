@@ -5,18 +5,31 @@ Re-design of the reference benchmark harnesses
 (JacobiForcing/jacobi_forcing_inference_humaneval.py:26-301,
 jacobi_forcing_inference_MR_humaneval.py, jacobi_forcing_inference_MATH500.py,
 ar_inference_baseline.py:17-227): per-prompt generation with the selected
-decode strategy, JSONL generations (evalchemy-compatible: one record per task
-with the completion) plus a CSV per-example profile (iterations, iters/token,
-tok/s) and an EOS-only aggregate summary (reference :274-301).
+decode strategy, chat-template prompt construction per dataset format,
+evalchemy-compatible JSONL generations (raw `output` + code-block-extracted
+`generation`), a CSV per-example profile with the reference's column schema
+(index/task_id/prompt_tokens/new_tokens/calls/total_iterations/
+avg_iter_per_call/avg_iter_per_token/time_sec/toks_per_sec/stop_reason —
+reference :203-219), and an EOS-only aggregate summary (reference :274-301).
+
+Dataset formats (--dataset-format):
+  * generic   — rows {"task_id", "prompt"} or {"prompt_ids"}; prompt encoded
+                verbatim (no template);
+  * humaneval — rows {"task_id", "prompt"} where prompt is the function
+                header+docstring; wrapped in the reference's completion
+                instruction and run through tokenizer.apply_chat_template
+                (reference jacobi_forcing_inference_humaneval.py:70-84);
+  * math500   — rows {"problem"} with the Qwen system message
+                (reference jacobi_forcing_inference_MATH500.py:77-83).
 
 Usage:
     python -m jacobiforcing_tpu.apps.bench_generate \
-        --model /path/to/ckpt --dataset prompts.jsonl --strategy jacobi \
+        --model /path/to/ckpt --dataset humaneval.jsonl \
+        --dataset-format humaneval --strategy jacobi \
         --n-token-seq-len 64 --max-new-tokens 1024 --output-dir out/
 
-The dataset is JSONL with {"task_id": ..., "prompt": "..."} (or
-{"prompt_ids": [...]}); with no dataset, synthetic prompts exercise the
-serving path for pure-performance runs.
+With no dataset, synthetic prompts exercise the serving path for
+pure-performance runs.
 """
 
 from __future__ import annotations
@@ -25,10 +38,55 @@ import argparse
 import csv
 import json
 import os
+import re
 import time
-from typing import List
+from typing import List, Optional
 
 import numpy as np
+
+# The reference's HumanEval instruct wrapper — part of the eval protocol
+# (jacobi_forcing_inference_humaneval.py:70-77): accuracy parity requires the
+# same instruction text.
+HUMANEVAL_TEMPLATE = """
+Please continue to complete the function. You are not allowed to modify the given code and do the completion only. Please return all completed function in a codeblock. Here is the given code to do completion:
+```python
+{}
+```
+""".strip()
+
+# Qwen system message used by the MATH500 harness
+# (jacobi_forcing_inference_MATH500.py:80).
+QWEN_SYSTEM = "You are Qwen, created by Alibaba Cloud. You are a helpful assistant."
+
+
+def extract_python_code(text: str) -> str:
+    """First ```python fenced block, or the raw text (reference :241-247)."""
+    m = re.search(r"```python([\s\S]*?)```", text)
+    return m.group(1).strip() if m else text
+
+
+def build_prompt_ids(row: dict, fmt: str, tokenizer) -> List[int]:
+    """Dataset-format-aware prompt construction (chat template included)."""
+    if "prompt_ids" in row and fmt == "generic":
+        return list(row["prompt_ids"])
+    assert tokenizer is not None, "text prompts need a tokenizer"
+    if fmt == "humaneval":
+        content = HUMANEVAL_TEMPLATE.format(str(row["prompt"]).strip())
+        messages = [{"role": "user", "content": content}]
+    elif fmt == "math500":
+        messages = [
+            {"role": "system", "content": QWEN_SYSTEM},
+            {"role": "user", "content": row.get("problem", row.get("prompt", ""))},
+        ]
+    else:
+        return tokenizer.encode(row["prompt"])
+    if hasattr(tokenizer, "apply_chat_template"):
+        text = tokenizer.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True
+        )
+    else:  # plain-text fallback for tokenizers without a chat template
+        text = "\n".join(m["content"] for m in messages) + "\n"
+    return tokenizer.encode(text)
 
 
 def build_sampling_params(args):
@@ -62,12 +120,11 @@ def load_prompts(args, tokenizer) -> List[dict]:
                 if not line:
                     continue
                 r = json.loads(line)
-                if "prompt_ids" in r:
-                    ids = r["prompt_ids"]
-                else:
-                    assert tokenizer is not None, "text prompts need a tokenizer"
-                    ids = tokenizer.encode(r["prompt"])
-                rows.append({"task_id": r.get("task_id", f"task_{i}"), "prompt_ids": ids})
+                ids = build_prompt_ids(r, args.dataset_format, tokenizer)
+                rows.append({
+                    "task_id": r.get("task_id", f"task_{i}"),
+                    "prompt_ids": ids,
+                })
                 if args.limit and len(rows) >= args.limit:
                     break
     else:
@@ -93,30 +150,55 @@ def run(args, engine=None, tokenizer=None):
     rows = load_prompts(args, tokenizer)
     os.makedirs(args.output_dir, exist_ok=True)
 
+    L = max(args.n_token_seq_len, 1)
     profiles = []
     gen_path = os.path.join(args.output_dir, f"generations_{args.strategy}.jsonl")
     with open(gen_path, "w") as gen_f:
-        for row in rows:
+        for idx, row in enumerate(rows):
             iters0 = engine.stats["jacobi_iterations"]
             t0 = time.perf_counter()
             out = engine.generate([row["prompt_ids"]], sp)[0]
             dt = time.perf_counter() - t0
             toks = out["token_ids"]
             iters = engine.stats["jacobi_iterations"] - iters0
-            rec = {"task_id": row["task_id"], "token_ids": toks}
+            text: Optional[str] = None
             if tokenizer is not None:
-                rec["completion"] = tokenizer.decode(toks)
+                text = tokenizer.decode(toks)
+            # evalchemy-compatible record: raw output + extracted codeblock
+            # (reference :228-255 rewrites humaneval_python_example.jsonl rows)
+            rec = {"task_id": row["task_id"], "token_ids": toks}
+            if text is not None:
+                rec["output"] = text
+                rec["generation"] = (
+                    extract_python_code(text)
+                    if args.dataset_format == "humaneval" else text
+                )
             gen_f.write(json.dumps(rec) + "\n")
             eos_hit = bool(toks) and engine.config.eos >= 0 and toks[-1] == engine.config.eos
+            stop_reason = (
+                "eos" if eos_hit
+                else "max_new_tokens" if len(toks) >= args.max_new_tokens
+                else "max_iterations"
+            )
+            # calls ~ completed Jacobi blocks (the reference counts one
+            # jacobi_forward_greedy call per block, :180)
+            calls = (
+                len(toks) if args.strategy == "ar"
+                else max(1, -(-len(toks) // L))
+            )
             profiles.append({
+                "index": idx,
                 "task_id": row["task_id"],
-                "num_tokens": len(toks),
-                "iterations": iters,
-                "iters_per_token": round(iters / max(len(toks), 1), 4),
+                "prompt_tokens": len(row["prompt_ids"]),
+                "new_tokens": len(toks),
+                "calls": calls,
+                "total_iterations": iters,
+                "avg_iter_per_call": round(iters / max(calls, 1), 4),
+                "avg_iter_per_token": round(iters / max(len(toks), 1), 4),
                 "tokens_per_forward": round(len(toks) / max(iters, 1), 4),
-                "wall_s": round(dt, 4),
-                "tokens_per_s": round(len(toks) / max(dt, 1e-9), 2),
-                "eos_terminated": eos_hit,
+                "time_sec": round(dt, 4),
+                "toks_per_sec": round(len(toks) / max(dt, 1e-9), 2),
+                "stop_reason": stop_reason,
             })
 
     csv_path = os.path.join(args.output_dir, f"profile_{args.strategy}.csv")
@@ -126,18 +208,30 @@ def run(args, engine=None, tokenizer=None):
         w.writerows(profiles)
 
     # EOS-only aggregate (reference jacobi_forcing_inference_humaneval.py:274-301)
-    eos_rows = [p for p in profiles if p["eos_terminated"]] or profiles
+    eos_rows = [p for p in profiles if p["stop_reason"] == "eos"] or profiles
     agg = {
         "strategy": args.strategy,
         "n_examples": len(profiles),
-        "n_eos_terminated": sum(p["eos_terminated"] for p in profiles),
+        "n_eos_terminated": sum(p["stop_reason"] == "eos" for p in profiles),
+        "mean_new_tokens": round(float(np.mean([p["new_tokens"] for p in eos_rows])), 4),
+        "mean_calls": round(float(np.mean([p["calls"] for p in eos_rows])), 4),
+        "mean_iter_per_call": round(
+            float(np.mean([p["avg_iter_per_call"] for p in eos_rows])), 4
+        ),
+        "mean_iter_per_token": round(
+            float(np.mean([p["avg_iter_per_token"] for p in eos_rows])), 4
+        ),
         "mean_tokens_per_forward": round(
             float(np.mean([p["tokens_per_forward"] for p in eos_rows])), 4
         ),
         "mean_tokens_per_s": round(
-            float(np.mean([p["tokens_per_s"] for p in eos_rows])), 2
+            float(np.mean([p["toks_per_sec"] for p in eos_rows])), 2
         ),
-        "total_tokens": int(sum(p["num_tokens"] for p in profiles)),
+        "total_tokens": int(sum(p["new_tokens"] for p in profiles)),
+        "stop_reasons": {
+            r: sum(p["stop_reason"] == r for p in profiles)
+            for r in sorted({p["stop_reason"] for p in profiles})
+        },
     }
     with open(os.path.join(args.output_dir, f"summary_{args.strategy}.json"), "w") as f:
         json.dump(agg, f, indent=2)
@@ -149,6 +243,8 @@ def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="")
     p.add_argument("--dataset", default="")
+    p.add_argument("--dataset-format", choices=["generic", "humaneval", "math500"],
+                   default="generic")
     p.add_argument("--output-dir", default="bench_out")
     p.add_argument("--strategy", choices=["ar", "jacobi", "mr", "nongreedy"], default="jacobi")
     p.add_argument("--temperature", type=float, default=0.0)

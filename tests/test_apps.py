@@ -24,7 +24,7 @@ def test_bench_generate_outputs(tmp_path):
     agg, profiles = bench_generate.run(args, engine=make_engine(), tokenizer=None)
     assert agg["n_examples"] == 3
     assert len(profiles) == 3
-    assert all(p["num_tokens"] == 16 for p in profiles)
+    assert all(p["new_tokens"] == 16 for p in profiles)
     assert all(p["tokens_per_forward"] >= 1.0 for p in profiles)
     gens = [json.loads(l) for l in open(tmp_path / "generations_jacobi.jsonl")]
     assert len(gens) == 3 and all("token_ids" in g for g in gens)
@@ -89,3 +89,125 @@ def test_profiler_report(monkeypatch, capsys):
     rep = prof.report()
     assert "compiled buckets" in rep and "tokens_per_second" in rep
     profiling.reset_profiler()
+
+
+class FakeChatTokenizer:
+    """Minimal chat-template tokenizer for harness tests (vocab = bytes)."""
+
+    eos_token_id = 0
+
+    def apply_chat_template(self, messages, tokenize=False, add_generation_prompt=True):
+        parts = [f"<|{m['role']}|>{m['content']}<|end|>" for m in messages]
+        if add_generation_prompt:
+            parts.append("<|assistant|>")
+        text = "".join(parts)
+        return self.encode(text) if tokenize else text
+
+    def encode(self, text):
+        return [1 + (b % 255) for b in text.encode()][:64]
+
+    def decode(self, ids):
+        return "".join(chr(96 + (t % 26)) for t in ids)
+
+
+def test_bench_generate_humaneval_format(tmp_path):
+    """Chat-template prompt construction + reference record/CSV schema."""
+    args = bench_generate.make_parser().parse_args([])
+    args.strategy = "jacobi"
+    args.n_token_seq_len = 8
+    args.max_blocks = 1
+    args.max_new_tokens = 16
+    args.dataset = os.path.join(os.path.dirname(__file__), "data", "humaneval_smoke.jsonl")
+    args.dataset_format = "humaneval"
+    args.output_dir = str(tmp_path)
+    tok = FakeChatTokenizer()
+    agg, profiles = bench_generate.run(args, engine=make_engine(), tokenizer=tok)
+    assert agg["n_examples"] == 3
+    # reference CSV schema (jacobi_forcing_inference_humaneval.py:203-219)
+    rows = list(csv.DictReader(open(tmp_path / "profile_jacobi.csv")))
+    for col in ("index", "task_id", "prompt_tokens", "new_tokens", "calls",
+                "total_iterations", "avg_iter_per_call", "avg_iter_per_token",
+                "time_sec", "toks_per_sec", "stop_reason"):
+        assert col in rows[0], col
+    assert rows[0]["task_id"] == "Smoke/0"
+    assert rows[0]["stop_reason"] in ("eos", "max_new_tokens", "max_iterations")
+    # evalchemy-style generations: raw output + extracted generation
+    gens = [json.loads(l) for l in open(tmp_path / "generations_jacobi.jsonl")]
+    assert all("output" in g and "generation" in g for g in gens)
+
+
+def test_extract_python_code():
+    fenced = "intro\n```python\ndef f():\n    return 1\n```\ntail"
+    assert bench_generate.extract_python_code(fenced) == "def f():\n    return 1"
+    assert bench_generate.extract_python_code("no block") == "no block"
+
+
+def test_build_prompt_ids_templates():
+    tok = FakeChatTokenizer()
+    he = bench_generate.build_prompt_ids(
+        {"prompt": "def f():\n    pass"}, "humaneval", tok
+    )
+    assert isinstance(he, list) and he
+    # template text must wrap the code in the reference's instruction
+    text = bench_generate.HUMANEVAL_TEMPLATE.format("x")
+    assert "do the completion only" in text and "```python" in text
+    m5 = bench_generate.build_prompt_ids({"problem": "1+1=?"}, "math500", tok)
+    assert isinstance(m5, list) and m5
+    assert "Alibaba Cloud" in bench_generate.QWEN_SYSTEM
+
+
+def test_chat_web_streams(tmp_path):
+    """Browser chat UI: page serves, /generate streams ndjson token events,
+    streamed text equals blocking generation (reference Streamlit app parity,
+    applications/jacobi_model_chat.py)."""
+    import threading
+    import urllib.request
+
+    from jacobiforcing_tpu.apps import chat_web
+
+    tok = FakeChatTokenizer()
+    eng = make_engine(jacobi_chunk_tokens=8)
+    server = chat_web.serve(
+        eng, tok, port=0,
+        default_params={"jacobi_block_len": 8, "jacobi_max_blocks": 1,
+                        "max_tokens": 16},
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30
+        ).read().decode()
+        assert "JacobiForcing-TPU chat" in page
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": "hello world", "max_tokens": 16}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        events = []
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            for line in resp:
+                line = line.strip()
+                if line:
+                    events.append(json.loads(line))
+        text = "".join(e.get("text", "") for e in events if e["pane"] == "jacobi")
+        stats = [e for e in events if "stats" in e]
+        assert stats and "tok/s" in stats[0]["stats"]
+
+        # oracle: blocking generation on a fresh identical engine
+        from jacobiforcing_tpu.config import SamplingParams
+
+        ids = tok.apply_chat_template(
+            [{"role": "user", "content": "hello world"}],
+            tokenize=True, add_generation_prompt=True,
+        )
+        want = make_engine().generate(
+            [ids],
+            SamplingParams(temperature=0.0, max_tokens=16,
+                           decode_strategy="jacobi", jacobi_block_len=8,
+                           jacobi_max_blocks=1, jacobi_max_iterations=4096),
+        )[0]["token_ids"]
+        assert text == tok.decode(want)
+    finally:
+        server.shutdown()
