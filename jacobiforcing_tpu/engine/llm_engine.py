@@ -106,10 +106,15 @@ class LLMEngine:
             from jacobiforcing_tpu.parallel.sharding import kv_cache_spec
 
             spec = kv_cache_spec()
+            put = lambda x, s: (
+                jax.device_put(x, NamedSharding(mesh, s)) if x is not None else None
+            )
             self.kv = type(self.kv)(
-                k=jax.device_put(self.kv.k, NamedSharding(mesh, spec.k)),
-                v=jax.device_put(self.kv.v, NamedSharding(mesh, spec.v)),
+                k=put(self.kv.k, spec.k),
+                v=put(self.kv.v, spec.v),
                 page_size=self.kv.page_size,
+                k_scale=put(self.kv.k_scale, spec.k_scale),
+                v_scale=put(self.kv.v_scale, spec.v_scale),
             )
         # Native C++ block manager when available (JF_NATIVE_BM=0 disables)
         self.block_manager = None
@@ -141,11 +146,15 @@ class LLMEngine:
     def _pages_from_hbm(self, page: int, kv_dtype) -> int:
         """Size the KV pool from free device memory (reference
         model_runner.py:523-648 sizes from free VRAM with a hard cap)."""
+        from jacobiforcing_tpu.ops.kv_cache import needs_row_scales
+
         mc = self.model_cfg
         bytes_per_tok = (
             2 * mc.num_layers * mc.num_kv_heads * mc.head_dim
             * jnp.dtype(kv_dtype).itemsize
         )
+        if needs_row_scales(kv_dtype):  # fp32 per-row dequant scales
+            bytes_per_tok += 2 * mc.num_layers * mc.num_kv_heads * 4
         avail = None
         try:
             dev = jax.devices()[0]

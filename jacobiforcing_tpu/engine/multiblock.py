@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from jacobiforcing_tpu.models.qwen import ModelConfig, forward_spec, greedy_tokens
-from jacobiforcing_tpu.ops.kv_cache import KVCache
+from jacobiforcing_tpu.ops.kv_cache import KVCache, quantize_rows
 
 
 class MBState(NamedTuple):
@@ -448,12 +448,21 @@ def jacobi_chunk_multiblock(
         kw = jnp.take_along_axis(k_new, rows[None, :, :, None, None], axis=2)
         vw = jnp.take_along_axis(v_new, rows[None, :, :, None, None], axis=2)
         Lyr, _, _, KH, D = kw.shape
-        kw = kw.transpose(0, 3, 1, 2, 4).reshape(Lyr, KH, B * N, D).astype(st.kv.k.dtype)
-        vw = vw.transpose(0, 3, 1, 2, 4).reshape(Lyr, KH, B * N, D).astype(st.kv.v.dtype)
+        kw = kw.transpose(0, 3, 1, 2, 4).reshape(Lyr, KH, B * N, D)
+        vw = vw.transpose(0, 3, 1, 2, 4).reshape(Lyr, KH, B * N, D)
         flat_slots = slots.reshape(B * N)
+        new_ks, new_vs = st.kv.k_scale, st.kv.v_scale
+        if st.kv.scaled:  # fp8 KV: per-row quantization + scale scatter
+            kw, ksw = quantize_rows(kw, st.kv.k.dtype)
+            vw, vsw = quantize_rows(vw, st.kv.v.dtype)
+            new_ks = new_ks.at[:, :, flat_slots].set(ksw, mode="drop")
+            new_vs = new_vs.at[:, :, flat_slots].set(vsw, mode="drop")
+        else:
+            kw = kw.astype(st.kv.k.dtype)
+            vw = vw.astype(st.kv.v.dtype)
         new_k = st.kv.k.at[:, :, flat_slots].set(kw, mode="drop")
         new_v = st.kv.v.at[:, :, flat_slots].set(vw, mode="drop")
-        kv2 = KVCache(new_k, new_v, page)
+        kv2 = KVCache(new_k, new_v, page, new_ks, new_vs)
 
         cur_len2 = st.cur_len + acc_w
         generated2 = st.generated + acc_w

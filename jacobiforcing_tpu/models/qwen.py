@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from jacobiforcing_tpu.ops.attention import paged_attention
-from jacobiforcing_tpu.ops.kv_cache import KVCache, write_kv
+from jacobiforcing_tpu.ops.kv_cache import KVCache, write_kv, write_kv_scaled
 from jacobiforcing_tpu.ops.quant import mm
 
 
@@ -252,10 +252,15 @@ def forward(
 
     lp = params["layers"]
     scale = 1.0 / math.sqrt(cfg.head_dim)
+    scaled = kv_cache.scaled  # fp8 KV with per-row dequant scales
 
     def layer_body(carry, xs):
         h = carry
-        w, k_cache_l, v_cache_l = xs
+        if scaled:
+            w, k_cache_l, v_cache_l, ks_l, vs_l = xs
+        else:
+            w, k_cache_l, v_cache_l = xs
+            ks_l = vs_l = None
         # h: [B, T, H]
         hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
         q = mm(hn, w["wq"])
@@ -274,7 +279,12 @@ def forward(
         q = apply_rope(q, cos, sin)
         kk = apply_rope(kk, cos, sin)
 
-        k_cache_l, v_cache_l = write_kv(k_cache_l, v_cache_l, kk, vv, slots)
+        if scaled:
+            k_cache_l, v_cache_l, ks_l, vs_l = write_kv_scaled(
+                k_cache_l, v_cache_l, ks_l, vs_l, kk, vv, slots
+            )
+        else:
+            k_cache_l, v_cache_l = write_kv(k_cache_l, v_cache_l, kk, vv, slots)
 
         o = paged_attention(
             q,
@@ -285,6 +295,8 @@ def forward(
             positions,
             scale,
             page_size=page,
+            k_scale_l=ks_l,
+            v_scale_l=vs_l,
         )  # [B, T, NH, D]
 
         o = mm(o.reshape(B, T, cfg.q_size), w["wo"])
@@ -294,11 +306,19 @@ def forward(
         u = mm(hn, w["w_up"])
         mlp = mm(jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u, w["w_down"])
         h = h + mlp
+        if scaled:
+            return h, (k_cache_l, v_cache_l, ks_l, vs_l)
         return h, (k_cache_l, v_cache_l)
 
-    h, (new_k, new_v) = lax.scan(layer_body, x, (lp, kv_cache.k, kv_cache.v))
+    if scaled:
+        xs = (lp, kv_cache.k, kv_cache.v, kv_cache.k_scale, kv_cache.v_scale)
+        h, (new_k, new_v, new_ks, new_vs) = lax.scan(layer_body, x, xs)
+    else:
+        h, (new_k, new_v) = lax.scan(layer_body, x, (lp, kv_cache.k, kv_cache.v))
+        new_ks = new_vs = None
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    return h, KVCache(k=new_k, v=new_v, page_size=page)
+    return h, KVCache(k=new_k, v=new_v, page_size=page,
+                      k_scale=new_ks, v_scale=new_vs)
 
 
 def forward_spec(
@@ -328,9 +348,14 @@ def forward_spec(
     sin = sin_t[jnp.minimum(positions, cfg.max_position - 1)]
     lp = params["layers"]
     scale = 1.0 / math.sqrt(cfg.head_dim)
+    scaled = kv_cache.scaled
 
     def layer_body(h, xs):
-        w, k_cache_l, v_cache_l = xs
+        if scaled:
+            w, k_cache_l, v_cache_l, ks_l, vs_l = xs
+        else:
+            w, k_cache_l, v_cache_l = xs
+            ks_l = vs_l = None
         hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
         q = mm(hn, w["wq"])
         kk = mm(hn, w["wk"])
@@ -346,9 +371,22 @@ def forward_spec(
         q = apply_rope(q, cos, sin)
         kk = apply_rope(kk, cos, sin)
 
+        kk_attn, vv_attn = kk, vv
+        if scaled:
+            # fake-quantize the in-flight block so speculative verification
+            # sees EXACTLY the values a commit would store (fp8 round-trip) —
+            # keeps MR greedy bit-identical to the AR/Jacobi cache path
+            from jacobiforcing_tpu.ops.kv_cache import quantize_rows
+
+            kq, kss = quantize_rows(kk, kv_cache.k.dtype)
+            vq, vss = quantize_rows(vv, kv_cache.v.dtype)
+            kk_attn = kq.astype(kk.dtype) * kss[..., None].astype(kk.dtype)
+            vv_attn = vq.astype(vv.dtype) * vss[..., None].astype(vv.dtype)
+
         o = paged_attention_with_block(
             q, k_cache_l, v_cache_l, block_tables, cache_lens,
-            kk, vv, intra_mask, scale, page_size=kv_cache.page_size,
+            kk_attn, vv_attn, intra_mask, scale, page_size=kv_cache.page_size,
+            k_scale_l=ks_l, v_scale_l=vs_l,
         )
         o = mm(o.reshape(B, T, cfg.q_size), w["wo"])
         h = h + o
@@ -358,7 +396,10 @@ def forward_spec(
         mlp = mm(jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u, w["w_down"])
         return h + mlp, (kk, vv)
 
-    h, (k_new, v_new) = lax.scan(layer_body, x, (lp, kv_cache.k, kv_cache.v))
+    xs = (lp, kv_cache.k, kv_cache.v)
+    if scaled:
+        xs = xs + (kv_cache.k_scale, kv_cache.v_scale)
+    h, (k_new, v_new) = lax.scan(layer_body, x, xs)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
     return h, k_new, v_new
 

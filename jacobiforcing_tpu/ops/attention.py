@@ -30,9 +30,18 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from jacobiforcing_tpu.ops.kv_cache import gather_pages
+from jacobiforcing_tpu.ops.kv_cache import gather_pages, gather_scales
 
 _NEG_INF = -1e30
+
+
+def _gather_dequant(cache_l, scale_l, block_tables, page_size, dtype):
+    """Gather pages; apply per-row fp8 dequant scales when present."""
+    x = gather_pages(cache_l, block_tables, page_size).astype(dtype)  # [B,S,KH,D]
+    if scale_l is not None:
+        s = gather_scales(scale_l, block_tables, page_size)  # [B, S, KH]
+        x = x * s[..., None].astype(dtype)
+    return x
 
 
 def paged_attention_xla(
@@ -45,6 +54,8 @@ def paged_attention_xla(
     scale: float,
     *,
     page_size: int,
+    k_scale_l: Optional[jax.Array] = None,  # [KH, num_slots] fp8 dequant rows
+    v_scale_l: Optional[jax.Array] = None,
 ) -> jax.Array:
     B, T, NH, D = q.shape
     KH = k_cache_l.shape[0]
@@ -52,8 +63,8 @@ def paged_attention_xla(
 
     # Cast to the query dtype: keeps the scan carry dtype-stable even when the
     # KV cache runs at a different precision (e.g. int8/fp8 KV later).
-    k = gather_pages(k_cache_l, block_tables, page_size).astype(q.dtype)  # [B, S, KH, D]
-    v = gather_pages(v_cache_l, block_tables, page_size).astype(q.dtype)
+    k = _gather_dequant(k_cache_l, k_scale_l, block_tables, page_size, q.dtype)
+    v = _gather_dequant(v_cache_l, v_scale_l, block_tables, page_size, q.dtype)
     S = k.shape[1]
 
     # [B, KH, G, T, D] x [B, KH, S, D] -> [B, KH, G, T, S]
@@ -88,6 +99,8 @@ def paged_attention_with_block(
     scale: float,
     *,
     page_size: int,
+    k_scale_l: Optional[jax.Array] = None,
+    v_scale_l: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Speculative attention: committed paged KV (read-only) + in-flight block
     KV under an arbitrary intra-block mask, one softmax over both.
@@ -102,8 +115,8 @@ def paged_attention_with_block(
     groups = NH // KH
     acc = jnp.promote_types(q.dtype, jnp.float32)
 
-    kc = gather_pages(k_cache_l, block_tables, page_size).astype(q.dtype)  # [B, S, KH, D]
-    vc = gather_pages(v_cache_l, block_tables, page_size).astype(q.dtype)
+    kc = _gather_dequant(k_cache_l, k_scale_l, block_tables, page_size, q.dtype)
+    vc = _gather_dequant(v_cache_l, v_scale_l, block_tables, page_size, q.dtype)
     S = kc.shape[1]
 
     qg = q.reshape(B, T, KH, groups, D).transpose(0, 2, 3, 1, 4)  # [B,KH,G,T,D]
@@ -139,13 +152,15 @@ def paged_attention(
     *,
     page_size: int,
     impl: Optional[str] = None,
+    k_scale_l: Optional[jax.Array] = None,
+    v_scale_l: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch between the XLA reference path and the Pallas TPU kernel."""
     impl = impl or os.environ.get("JF_ATTN_IMPL", "auto")
     if impl == "xla":
         return paged_attention_xla(
             q, k_cache_l, v_cache_l, block_tables, cache_lens, positions, scale,
-            page_size=page_size,
+            page_size=page_size, k_scale_l=k_scale_l, v_scale_l=v_scale_l,
         )
     # Kernel constraints: lane-aligned head_dim, sublane-aligned page.
     kernel_ok = (
@@ -171,10 +186,11 @@ def paged_attention(
                 return paged_attention_pallas(
                     q, k_cache_l, v_cache_l, block_tables, cache_lens, positions,
                     scale, page_size=page_size,
+                    k_scale_l=k_scale_l, v_scale_l=v_scale_l,
                 )
         except NotImplementedError:
             pass
     return paged_attention_xla(
         q, k_cache_l, v_cache_l, block_tables, cache_lens, positions, scale,
-        page_size=page_size,
+        page_size=page_size, k_scale_l=k_scale_l, v_scale_l=v_scale_l,
     )

@@ -19,7 +19,13 @@ Design (see /opt/skills/guides/pallas_guide.md):
   * `cache_lens` masks the ragged tail (dead slots are never read -> the
     trim_kv_only_fast contract, reference block_manager.py:534-565);
   * causal masking uses q_start[b] + (row mod L) as the absolute query
-    position — all call sites use consecutive positions.
+    position — all call sites use consecutive positions;
+  * fp8 KV: per-row dequant scales (ops/kv_cache.py quantize_rows) are
+    pre-gathered per sequence OUTSIDE the kernel (the [B, KH, S] fp32 planes
+    are ~3% of the page bytes) and staged via block specs; the kernel folds
+    the K scale into the score columns and the V scale into the softmax
+    probabilities, so both MXU matmuls consume the narrow-cast pages directly
+    (no [page, D] dequant pass, and no sublane-misaligned scale DMAs).
 """
 
 from __future__ import annotations
@@ -42,18 +48,21 @@ def _kernel(
     qstart_ref,  # [B] int32 absolute position of query row i=0
     # inputs
     q_ref,  # [GL, D] VMEM (this program's q tile)
-    k_hbm,  # [num_slots, KH, D] HBM
+    k_hbm,  # [KH, num_slots, D] HBM
     v_hbm,
+    ks_ref,  # [1, S] f32 VMEM: this sequence's gathered K scales (or None)
+    vs_ref,
     # outputs
     o_ref,  # [GL, D] VMEM
     # scratch
-    kbuf, vbuf,  # [2, PAGE, D] VMEM
-    sem,  # DMA sems [2, 2]
+    kbuf, vbuf,  # [NBUF, TILE, D] VMEM
+    sem,  # DMA sems [NBUF, 4]
     acc, m_i, l_i,  # [GL, D] f32, [GL, 1] f32, [GL, 1] f32
     *,
     page: int,
     L: int,
     scale: float,
+    scaled: bool,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -133,6 +142,10 @@ def _kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [GL, TILE] f32 accumulation from native-dtype inputs
+        if scaled:
+            # dequant K folded into the scores: column j scales by its key
+            # row's scale ((q . k_q) * ks == q . (k_q * ks))
+            s = s * ks_ref[:, pl.ds(t * tile, tile)]  # [1, TILE] broadcast
         key_abs = t * tile + lax.broadcasted_iota(jnp.int32, (GL, tile), 1)
         # the second half masks itself out when its page was never fetched
         # (key_abs >= clen there)
@@ -143,8 +156,14 @@ def _kernel(
         alpha = jnp.exp(m_i[...] - m_new)
         p_ij = jnp.exp(s - m_new)
         l_new = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
+        if scaled:
+            # dequant V folded into the probabilities:
+            # p @ (v_q * vs) == (p * vs) @ v_q  (l_new uses the true p)
+            pv = (p_ij * vs_ref[:, pl.ds(t * tile, tile)]).astype(q.dtype)
+        else:
+            pv = p_ij.astype(q.dtype)
         acc[...] = acc[...] * alpha + lax.dot_general(
-            p_ij.astype(q.dtype), v,
+            pv, v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -167,7 +186,7 @@ def _kernel(
 )
 def paged_attention_pallas(
     q: jax.Array,  # [B, L, NH, D]
-    k_cache_l: jax.Array,  # [num_slots, KH, D]
+    k_cache_l: jax.Array,  # [KH, num_slots, D]
     v_cache_l: jax.Array,
     block_tables: jax.Array,  # [B, P]
     cache_lens: jax.Array,  # [B]
@@ -176,25 +195,51 @@ def paged_attention_pallas(
     *,
     page_size: int,
     interpret: bool = False,
+    k_scale_l=None,  # [KH, num_slots] fp32 (fp8 KV row scales)
+    v_scale_l=None,
 ) -> jax.Array:
     scale = float(scale)
     B, L, NH, D = q.shape
     KH = k_cache_l.shape[0]  # head-major cache: [KH, num_slots, D]
     G = NH // KH
     GL = G * L
+    scaled = k_scale_l is not None
 
     # [B, L, KH, G, D] -> [B, KH, G*L, D] with row r = g*L + i
     qr = q.reshape(B, L, KH, G, D).transpose(0, 2, 3, 1, 4).reshape(B, KH, GL, D)
     q_start = positions[:, 0].astype(jnp.int32)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [block_tables.astype(jnp.int32), cache_lens.astype(jnp.int32),
+            q_start, qr, k_cache_l, v_cache_l]
+    if scaled:
+        from jacobiforcing_tpu.ops.kv_cache import gather_scales
+
+        P = block_tables.shape[1]
+        # pad the gathered plane to whole tiles (odd page counts read the
+        # clamped tail, which the causal/len mask already zeroes); the dummy
+        # axis makes the block's trailing dims (1, S) equal the array's, which
+        # the Mosaic block-shape rules require
+        S_pad = ((P + 1) // 2) * 2 * page_size
+        def gather_plane(scale_l):
+            g = gather_scales(scale_l, block_tables, page_size)  # [B, S, KH]
+            g = g.transpose(0, 2, 1)  # [B, KH, S]
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, S_pad - g.shape[-1])))
+            return g[:, :, None, :]  # [B, KH, 1, S_pad]
+        args += [gather_plane(k_scale_l), gather_plane(v_scale_l)]
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, *_: (b, h, 0, 0)),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, KH),
-        in_specs=[
-            pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((4, 2 * page_size, D), k_cache_l.dtype),
@@ -206,24 +251,27 @@ def paged_attention_pallas(
         ],
     )
 
-    def _squeeze_kernel(bt, clen, qs, q_ref, k_hbm, v_hbm, o_ref, *scratch):
-        # q_ref/o_ref blocks come in as [1, 1, GL, D]
-        _kernel_views(bt, clen, qs, q_ref, k_hbm, v_hbm, o_ref, *scratch,
-                      page=page_size, L=L, scale=scale)
+    def _squeeze_kernel(bt, clen, qs, *rest):
+        if scaled:
+            q_ref, k_hbm, v_hbm, ks_ref, vs_ref, o_ref = rest[:6]
+            scratch = rest[6:]
+            ks2, vs2 = ks_ref.at[0, 0], vs_ref.at[0, 0]  # [1, S]
+        else:
+            q_ref, k_hbm, v_hbm, o_ref = rest[:4]
+            scratch = rest[4:]
+            ks2 = vs2 = None
+        _kernel(
+            bt, clen, qs, q_ref.at[0, 0], k_hbm, v_hbm, ks2, vs2,
+            o_ref.at[0, 0], *scratch,
+            page=page_size, L=L, scale=scale, scaled=scaled,
+        )
 
     out = pl.pallas_call(
         _squeeze_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KH, GL, D), q.dtype),
         interpret=interpret,
-    )(block_tables.astype(jnp.int32), cache_lens.astype(jnp.int32), q_start, qr,
-      k_cache_l, v_cache_l)
+    )(*args)
 
     # [B, KH, G*L, D] -> [B, L, NH, D]
     return out.reshape(B, KH, G, L, D).transpose(0, 3, 1, 2, 4).reshape(B, L, NH, D)
-
-
-def _kernel_views(bt, clen, qs, q_ref, k_hbm, v_hbm, o_ref, *scratch, page, L, scale):
-    q2 = q_ref.at[0, 0]
-    o2 = o_ref.at[0, 0]
-    _kernel(bt, clen, qs, q2, k_hbm, v_hbm, o2, *scratch, page=page, L=L, scale=scale)

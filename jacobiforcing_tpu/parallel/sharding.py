@@ -69,7 +69,9 @@ def kv_cache_spec() -> Any:
     from jacobiforcing_tpu.ops.kv_cache import KVCache
 
     return KVCache(
-        k=P(None, "model", None, None), v=P(None, "model", None, None), page_size=0
+        k=P(None, "model", None, None), v=P(None, "model", None, None), page_size=0,
+        # fp8 per-row dequant scales [layers, kv_heads, slots] follow the heads
+        k_scale=P(None, "model", None), v_scale=P(None, "model", None),
     )
 
 

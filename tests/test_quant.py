@@ -139,3 +139,118 @@ def test_int4_matmul_kernel_correct():
 
     out = i4.int4_matmul(x, wp, scale, tile_n=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+def test_fp8_scaled_write_roundtrip():
+    """write_kv_scaled: per-row amax scales keep dequant error at the fp8
+    relative precision even for magnitudes far beyond the e4m3 max (448)."""
+    from jacobiforcing_tpu.ops.kv_cache import (
+        alloc_kv_cache, gather_scales, gather_pages, write_kv_scaled,
+    )
+
+    r = np.random.RandomState(0)
+    KH, D, page = 2, 16, 16
+    kv = alloc_kv_cache(1, 4, page, KH, D, jnp.float8_e4m3fn)
+    assert kv.scaled and kv.k_scale.shape == (1, KH, 64)
+    # magnitudes up to ~2000: raw casting would clamp at 448
+    k_new = jnp.asarray(r.randn(1, 8, KH, D) * 700, jnp.float32)
+    v_new = jnp.asarray(r.randn(1, 8, KH, D) * 700, jnp.float32)
+    slots = jnp.arange(8, dtype=jnp.int32)[None, :]
+    k_c, v_c, ks_c, vs_c = write_kv_scaled(
+        kv.k[0], kv.v[0], kv.k_scale[0], kv.v_scale[0], k_new, v_new, slots
+    )
+    bt = jnp.asarray([[0]], jnp.int32)
+    k_back = gather_pages(k_c, bt, page).astype(jnp.float32)
+    ks = gather_scales(ks_c, bt, page)
+    deq = np.asarray(k_back * ks[..., None])[0, :8]  # [8, KH, D]
+    orig = np.asarray(k_new)[0]
+    rel = np.abs(deq - orig) / (np.abs(orig) + 1e-6)
+    assert rel.max() < 0.07, rel.max()  # e4m3: 3 mantissa bits ~ 6.25% worst
+    # raw cast for comparison: out-of-range e4m3fn becomes NaN (no inf) —
+    # the silent corruption the per-row scales exist to prevent
+    raw = np.asarray(k_new.astype(jnp.float8_e4m3fn).astype(jnp.float32))[0]
+    raw_rel = np.abs(raw - orig) / (np.abs(orig) + 1e-6)
+    assert (~np.isfinite(raw_rel)).any() or raw_rel.max() > 0.3
+
+
+def test_fp8_scaled_attention_bounded_delta():
+    """Attention over scaled-fp8 KV with out-of-range magnitudes stays within
+    fp8 precision of the fp32 oracle (raw cast would not)."""
+    from jacobiforcing_tpu.ops.attention import paged_attention_xla
+    from jacobiforcing_tpu.ops.kv_cache import alloc_kv_cache, write_kv, write_kv_scaled
+
+    r = np.random.RandomState(1)
+    B, L, NH, KH, D, page = 2, 4, 4, 2, 32, 16
+    S = 48
+    kv8 = alloc_kv_cache(1, 8, page, KH, D, jnp.float8_e4m3fn)
+    kv32 = alloc_kv_cache(1, 8, page, KH, D, jnp.float32)
+    # K/V magnitudes ~ N(0, 600): many rows beyond the e4m3 max
+    k_new = jnp.asarray(r.randn(B, S, KH, D) * 600, jnp.float32)
+    v_new = jnp.asarray(r.randn(B, S, KH, D) * 600, jnp.float32)
+    bt = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    slots = bt[:, 0:1] * page  # seq b starts at page bt[b,0]
+    slots = (
+        jnp.take_along_axis(bt, pos // page, axis=1) * page + pos % page
+    )
+    k8, v8, ks8, vs8 = write_kv_scaled(
+        kv8.k[0], kv8.v[0], kv8.k_scale[0], kv8.v_scale[0], k_new, v_new, slots
+    )
+    k32, v32 = write_kv(kv32.k[0], kv32.v[0], k_new, v_new, slots)
+
+    # small q keeps scores O(1): softmax stays smooth, so output error
+    # reflects fp8 value precision rather than a saturated-argmax flip
+    q = jnp.asarray(r.randn(B, L, NH, D) / 600.0, jnp.float32)
+    cache_lens = jnp.asarray([S, S], jnp.int32)
+    qpos = (cache_lens - L)[:, None] + jnp.arange(L)[None, :]
+    scale = 1.0 / np.sqrt(D)
+    ref = paged_attention_xla(q, k32, v32, bt, cache_lens, qpos, scale, page_size=page)
+    out8 = paged_attention_xla(
+        q, k8, v8, bt, cache_lens, qpos, scale, page_size=page,
+        k_scale_l=ks8, v_scale_l=vs8,
+    )
+    ref_n, out_n = np.asarray(ref), np.asarray(out8)
+    rel = np.abs(out_n - ref_n).max() / np.abs(ref_n).max()
+    assert rel < 0.08, rel
+    # raw cast (no scales) saturates and lands far off
+    kraw = k_new.astype(jnp.float8_e4m3fn)
+    vraw = v_new.astype(jnp.float8_e4m3fn)
+    k8r, v8r = write_kv(kv8.k[0], kv8.v[0], kraw, vraw, slots)
+    outraw = np.asarray(
+        paged_attention_xla(q, k8r, v8r, bt, cache_lens, qpos, scale, page_size=page)
+    )
+    raw_rel = np.abs(outraw - ref_n).max() / np.abs(ref_n).max()
+    assert not np.isfinite(raw_rel) or raw_rel > 3 * rel, (raw_rel, rel)
+
+
+def test_pallas_kernel_fp8_scales_match_xla():
+    """Pallas kernel with per-row fp8 dequant scales == XLA scaled path."""
+    from jacobiforcing_tpu.ops.attention import paged_attention_xla
+    from jacobiforcing_tpu.ops.kv_cache import alloc_kv_cache, write_kv_scaled
+    from jacobiforcing_tpu.ops.pallas.paged_attention import paged_attention_pallas
+
+    r = np.random.RandomState(2)
+    B, L, NH, KH, D, page = 2, 4, 4, 2, 32, 16
+    S = 37
+    kv8 = alloc_kv_cache(1, 8, page, KH, D, jnp.float8_e4m3fn)
+    k_new = jnp.asarray(r.randn(B, S, KH, D) * 600, jnp.float32)
+    v_new = jnp.asarray(r.randn(B, S, KH, D) * 600, jnp.float32)
+    bt = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    slots = jnp.take_along_axis(bt, pos // page, axis=1) * page + pos % page
+    k8, v8, ks8, vs8 = write_kv_scaled(
+        kv8.k[0], kv8.v[0], kv8.k_scale[0], kv8.v_scale[0], k_new, v_new, slots
+    )
+    q = jnp.asarray(r.randn(B, L, NH, D), jnp.float32)
+    cache_lens = jnp.asarray([S, S - 7], jnp.int32)
+    qpos = (cache_lens - L)[:, None] + jnp.arange(L)[None, :]
+    scale = 1.0 / np.sqrt(D)
+    ref = paged_attention_xla(
+        q, k8, v8, bt, cache_lens, qpos, scale, page_size=page,
+        k_scale_l=ks8, v_scale_l=vs8,
+    )
+    out = paged_attention_pallas(
+        q, k8, v8, bt, cache_lens, qpos, scale, page_size=page, interpret=True,
+        k_scale_l=ks8, v_scale_l=vs8,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-3, atol=3e-3)
