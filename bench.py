@@ -44,6 +44,10 @@ def main():
             num_layers=28, num_heads=12, num_kv_heads=2, head_dim=128,
             tie_word_embeddings=True,
         )
+    if quant == "w8a8":  # int8 weights + per-token int8 activations (int8 MXU)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, act_quant=True)
 
     B = int(os.environ.get("JF_BENCH_B", "1"))
     L = int(os.environ.get("JF_BENCH_L", "64"))
@@ -56,7 +60,7 @@ def main():
     pages_per_seq = (ctx + budget + 2 * L) // page + 1
 
     key = jax.random.PRNGKey(0)
-    if quant == "int8":
+    if quant in ("int8", "w8a8"):
         params = init_quantized_params(cfg, key)
     else:
         params = init_params(cfg, key)

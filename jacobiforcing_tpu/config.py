@@ -64,8 +64,12 @@ class Config:
 
     enforce_eager: bool = False
     seed: int = 0
-    # "" | "int8" — weight-only quantization applied at engine load (halves
-    # HBM weight traffic; fits Qwen2.5-7B on one 16GB v5e chip).
+    # "" | "int8" | "w8a8" — quantization applied at engine load.
+    # int8: weight-only (halves HBM weight traffic; the small-batch decode
+    # regime; fits Qwen2.5-7B on one 16GB v5e chip).
+    # w8a8: int8 weights + per-token int8 activations on the int8 MXU —
+    # ~1.6x faster batched Jacobi forwards (B>=8), standard dynamic-quant
+    # accuracy tradeoff.
     quantization: str = ""
     # "" (model dtype) | "fp8" (float8_e4m3) — KV cache storage dtype; halves
     # KV HBM so the page pool holds 2x the context (build plan step 4c).

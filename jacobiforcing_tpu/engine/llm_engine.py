@@ -16,6 +16,7 @@ Decode dispatch:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from typing import Any, Dict, List, Optional, Sequence as PySeq
@@ -70,10 +71,14 @@ class LLMEngine:
 
             mesh = make_mesh(tensor_parallel_size=config.tensor_parallel_size)
         self.mesh = mesh
-        if config.quantization == "int8":
+        if config.quantization in ("int8", "w8a8"):
             from jacobiforcing_tpu.ops.quant import quantize_params
 
             params = quantize_params(params)
+            if config.quantization == "w8a8":
+                # large-batch mode: per-token activation quant + int8 MXU
+                model_cfg = dataclasses.replace(model_cfg, act_quant=True)
+                self.model_cfg = model_cfg
         if mesh is not None:
             from jacobiforcing_tpu.parallel.sharding import shard_params
 

@@ -37,7 +37,7 @@ from jax import lax
 
 from jacobiforcing_tpu.ops.attention import paged_attention
 from jacobiforcing_tpu.ops.kv_cache import KVCache, write_kv, write_kv_scaled
-from jacobiforcing_tpu.ops.quant import mm
+from jacobiforcing_tpu.ops.quant import mm as _mm_raw
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +57,10 @@ class ModelConfig:
     qkv_bias: bool = True  # Qwen2-style; False => Qwen3-style qk-norm
     qk_norm: bool = False
     tie_word_embeddings: bool = False
+    # W8A8 serving: per-token activation quant + int8 MXU matmuls (ops/quant.mm
+    # a8 path).  Static so each jit specializes; engine sets it for
+    # quantization="w8a8".
+    act_quant: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -162,6 +166,13 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+def _make_mm(cfg: "ModelConfig"):
+    """Linear op bound to the config's activation-quant mode (static)."""
+    if cfg.act_quant:
+        return partial(_mm_raw, a8=True)
+    return _mm_raw
+
+
 def acc_dtype(dtype) -> Any:
     """Accumulation dtype: fp32, or fp64 when the model itself runs in fp64
     (CPU tests use fp64 so cross-shape reassociation noise cannot flip argmax
@@ -252,6 +263,7 @@ def forward(
 
     lp = params["layers"]
     scale = 1.0 / math.sqrt(cfg.head_dim)
+    mm_ = _make_mm(cfg)
     scaled = kv_cache.scaled  # fp8 KV with per-row dequant scales
 
     def layer_body(carry, xs):
@@ -263,9 +275,9 @@ def forward(
             ks_l = vs_l = None
         # h: [B, T, H]
         hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
-        q = mm(hn, w["wq"])
-        kk = mm(hn, w["wk"])
-        vv = mm(hn, w["wv"])
+        q = mm_(hn, w["wq"])
+        kk = mm_(hn, w["wk"])
+        vv = mm_(hn, w["wv"])
         if cfg.qkv_bias:
             q = q + w["bq"]
             kk = kk + w["bk"]
@@ -299,12 +311,12 @@ def forward(
             v_scale_l=vs_l,
         )  # [B, T, NH, D]
 
-        o = mm(o.reshape(B, T, cfg.q_size), w["wo"])
+        o = mm_(o.reshape(B, T, cfg.q_size), w["wo"])
         h = h + o
         hn = rms_norm(h, w["ln2"], cfg.rms_norm_eps)
-        g = mm(hn, w["w_gate"])
-        u = mm(hn, w["w_up"])
-        mlp = mm(jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u, w["w_down"])
+        g = mm_(hn, w["w_gate"])
+        u = mm_(hn, w["w_up"])
+        mlp = mm_(jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u, w["w_down"])
         h = h + mlp
         if scaled:
             return h, (k_cache_l, v_cache_l, ks_l, vs_l)
@@ -348,6 +360,7 @@ def forward_spec(
     sin = sin_t[jnp.minimum(positions, cfg.max_position - 1)]
     lp = params["layers"]
     scale = 1.0 / math.sqrt(cfg.head_dim)
+    mm_ = _make_mm(cfg)
     scaled = kv_cache.scaled
 
     def layer_body(h, xs):
@@ -357,9 +370,9 @@ def forward_spec(
             w, k_cache_l, v_cache_l = xs
             ks_l = vs_l = None
         hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
-        q = mm(hn, w["wq"])
-        kk = mm(hn, w["wk"])
-        vv = mm(hn, w["wv"])
+        q = mm_(hn, w["wq"])
+        kk = mm_(hn, w["wk"])
+        vv = mm_(hn, w["wv"])
         if cfg.qkv_bias:
             q, kk, vv = q + w["bq"], kk + w["bk"], vv + w["bv"]
         q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
@@ -388,12 +401,12 @@ def forward_spec(
             kk_attn, vv_attn, intra_mask, scale, page_size=kv_cache.page_size,
             k_scale_l=ks_l, v_scale_l=vs_l,
         )
-        o = mm(o.reshape(B, T, cfg.q_size), w["wo"])
+        o = mm_(o.reshape(B, T, cfg.q_size), w["wo"])
         h = h + o
         hn = rms_norm(h, w["ln2"], cfg.rms_norm_eps)
-        g = mm(hn, w["w_gate"])
-        u = mm(hn, w["w_up"])
-        mlp = mm(jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u, w["w_down"])
+        g = mm_(hn, w["w_gate"])
+        u = mm_(hn, w["w_up"])
+        mlp = mm_(jax.nn.silu(g.astype(acc_dtype(g.dtype))).astype(u.dtype) * u, w["w_down"])
         return h + mlp, (kk, vv)
 
     xs = (lp, kv_cache.k, kv_cache.v)
@@ -435,6 +448,7 @@ def forward_dense(
         )  # [1, T, T] causal (broadcasts over B)
     lp = params["layers"]
     scale = 1.0 / math.sqrt(cfg.head_dim)
+    mm_ = _make_mm(cfg)
     groups = cfg.num_heads // cfg.num_kv_heads
 
     _splash = _splash_kernel = None
@@ -455,9 +469,9 @@ def forward_dense(
 
     def layer_body(h, w):
         hn = rms_norm(h, w["ln1"], cfg.rms_norm_eps)
-        q = mm(hn, w["wq"])
-        kk = mm(hn, w["wk"])
-        vv = mm(hn, w["wv"])
+        q = mm_(hn, w["wq"])
+        kk = mm_(hn, w["wk"])
+        vv = mm_(hn, w["wv"])
         if cfg.qkv_bias:
             q, kk, vv = q + w["bq"], kk + w["bk"], vv + w["bv"]
         q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
@@ -484,12 +498,12 @@ def forward_dense(
             scores = jnp.where(mask, scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
             o = jnp.einsum("bhgts,bshd->bthgd", probs, vv)
-        o = mm(o.reshape(B, T, cfg.q_size), w["wo"])
+        o = mm_(o.reshape(B, T, cfg.q_size), w["wo"])
         h = h + o
         hn = rms_norm(h, w["ln2"], cfg.rms_norm_eps)
-        g = mm(hn, w["w_gate"])
-        u = mm(hn, w["w_up"])
-        mlp = mm(jax.nn.silu(g.astype(acc)).astype(u.dtype) * u, w["w_down"])
+        g = mm_(hn, w["w_gate"])
+        u = mm_(hn, w["w_up"])
+        mlp = mm_(jax.nn.silu(g.astype(acc)).astype(u.dtype) * u, w["w_down"])
         return h + mlp, None
 
     body = layer_body

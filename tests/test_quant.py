@@ -254,3 +254,40 @@ def test_pallas_kernel_fp8_scales_match_xla():
         k_scale_l=ks8, v_scale_l=vs8,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-3, atol=3e-3)
+
+
+def test_w8a8_mm_accuracy():
+    """W8A8 (per-token act quant x per-channel weight quant) mm error bound."""
+    r = np.random.RandomState(3)
+    w = jnp.asarray(r.randn(64, 32), jnp.float32)
+    x = jnp.asarray(r.randn(5, 64) * 3.0, jnp.float32)
+    qd = quantize_tensor(w)
+    ref = np.asarray(x @ w)
+    got = np.asarray(mm(x, qd, a8=True))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel  # two int8 quantizers compose to ~1-2%
+
+
+def test_w8a8_engine_all_strategies():
+    """W8A8 engine runs AR/Jacobi/MR; Jacobi greedy == AR greedy within the
+    quantized program (same deterministic path)."""
+    prompts = make_prompts(256)[:2]
+    ar = make_engine(quantization="w8a8").generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=16)
+    )
+    ja = make_engine(quantization="w8a8").generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=16, decode_strategy="jacobi",
+                       jacobi_block_len=8, jacobi_max_blocks=1),
+    )
+    for a, j in zip(ar, ja):
+        assert a["token_ids"] == j["token_ids"]
+        assert len(a["token_ids"]) == 16
+    mr = make_engine(quantization="w8a8").generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=16,
+                       decode_strategy="jacobi_multiblock_rejection_recycling",
+                       jacobi_block_len=8, jacobi_max_blocks=2),
+    )
+    for a, m in zip(ar, mr):
+        assert a["token_ids"] == m["token_ids"]
