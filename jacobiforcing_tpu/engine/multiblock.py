@@ -409,11 +409,35 @@ def jacobi_chunk_multiblock(
         tv = tok_valid.reshape(B, T)
         intra = sees[None] & tv[:, :, None] & tv[:, None, :]
 
-        h, k_new, v_new = forward_spec(
-            params, cfg, out_tokens, out_pos, st.kv, block_tables,
-            st.cur_len, intra, rope,
-        )
-        greedy = greedy_tokens(params, cfg, h).reshape(B, S, N)
+        def full_fwd(_):
+            h, k_new, v_new = forward_spec(
+                params, cfg, out_tokens, out_pos, st.kv, block_tables,
+                st.cur_len, intra, rope,
+            )
+            return greedy_tokens(params, cfg, h).reshape(B, S, N), k_new, v_new
+
+        def ra_only_fwd(_):
+            # compute-skipping: no candidate/pseudo segment is live anywhere
+            # in the batch, so forward only the RA block (T -> N tokens);
+            # pad outputs to the full shapes (zero rows are masked by
+            # seg_active downstream and never committed — commit rows come
+            # from winner w, which is the RA segment here)
+            h, k_n, v_n = forward_spec(
+                params, cfg, out_tokens[:, :N], out_pos[:, :N], st.kv,
+                block_tables, st.cur_len, intra[:, :N, :N], rope,
+            )
+            g = greedy_tokens(params, cfg, h)  # [B, N]
+            greedy = jnp.zeros((B, S, N), jnp.int32).at[:, 0].set(g)
+            Lyr = k_n.shape[0]
+            k_new = jnp.zeros((Lyr, B, T) + k_n.shape[3:], k_n.dtype)
+            v_new = jnp.zeros_like(k_new)
+            return greedy, k_new.at[:, :, :N].set(k_n), v_new.at[:, :, :N].set(v_n)
+
+        if S > 1:
+            ra_only = ~jnp.any(seg_active[:, 1:])
+            greedy, k_new, v_new = lax.cond(ra_only, ra_only_fwd, full_fwd, None)
+        else:
+            greedy, k_new, v_new = full_fwd(None)
 
         upd = jax.vmap(update_seq)(
             seg_tokens, seg_vlen, seg_active, greedy, st.blk_draft,

@@ -109,7 +109,28 @@ def paged_attention_with_block(
     verification (modeling/...unified.py:93-137 _resize_dynamic_cache_batch +
     forward-then-trim): candidate/pseudo tokens never touch the cache; the
     winner's K/V (returned by forward_spec) is scattered in afterwards.
+
+    On TPU an online-softmax Pallas kernel streams the committed pages
+    (ops/pallas/spec_attention.py) instead of the dense gather below; fp8-
+    scaled caches stay on the XLA path (dequant on gather).
     """
+    impl = os.environ.get("JF_ATTN_IMPL", "auto")
+    kernel_ok = (
+        q.shape[-1] % 128 == 0
+        and page_size % 16 == 0
+        and q.dtype in (jnp.bfloat16, jnp.float32)
+        and k_scale_l is None
+    )
+    if impl in ("auto", "pallas") and kernel_ok:
+        if impl == "pallas" or jax.default_backend() not in ("cpu",):
+            from jacobiforcing_tpu.ops.pallas.spec_attention import (
+                spec_attention_pallas,
+            )
+
+            return spec_attention_pallas(
+                q, k_cache_l, v_cache_l, block_tables, cache_lens,
+                k_new, v_new, intra_mask, scale, page_size=page_size,
+            )
     B, T, NH, D = q.shape
     KH = k_cache_l.shape[0]
     groups = NH // KH

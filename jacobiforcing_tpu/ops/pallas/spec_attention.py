@@ -1,0 +1,235 @@
+"""Pallas TPU kernel for speculative (multiblock/MR) attention.
+
+Replaces the XLA fallback of `ops.attention.paged_attention_with_block`, which
+gathers ALL committed pages dense ([B, P*page, KH, D] materialized) and builds
+[B, KH, G, T, S] score tensors — at 4k context that is hundreds of MB of HBM
+traffic per layer.  Here the committed pages stream through the same
+double-buffered DMA + online-softmax loop as the decode kernel
+(ops/pallas/paged_attention.py), and the in-flight segment block (RA draft +
+candidates + pseudos, `forward_spec`) is a VMEM operand appended as one extra
+online-softmax step under the tree-segment visibility mask.
+
+Reference analog: the fused forward over `out = [lookback, RA draft, pseudo
+tails]` with KV batch expansion
+(modeling/..._multiblock_lookahead_unified.py:317-463); the TPU version keeps
+candidates on the sequence axis and never writes speculative KV.
+
+Committed-phase masking: every in-flight query position is >= the committed
+length, so the only mask is `key_abs < cache_len` (no causal term).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _kernel(
+    # scalar prefetch
+    bt_ref,  # [B, P] int32
+    clen_ref,  # [B] int32 committed KV length
+    # inputs
+    q_ref,  # [G*T, D] VMEM
+    k_hbm,  # [KH, num_slots, D] HBM
+    v_hbm,
+    kblk_ref,  # [T, D] VMEM: this (b, h)'s in-flight K
+    vblk_ref,
+    mask_ref,  # [T, T] int8 VMEM: intra-block visibility (1 = attend)
+    # outputs
+    o_ref,  # [G*T, D] VMEM
+    # scratch
+    kbuf, vbuf,  # [NBUF, TILE, D]
+    sem,  # [NBUF, 4]
+    acc, m_i, l_i,
+    *,
+    page: int,
+    T: int,
+    G: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    clen = clen_ref[b]
+    npages = lax.div(clen + jnp.int32(page - 1), jnp.int32(page))
+    GL, D = q_ref.shape
+
+    NBUF = 4
+    tile = 2 * page
+    ntiles = lax.div(npages + jnp.int32(1), jnp.int32(2))
+
+    def kv_dma(slot, t, half):
+        p = 2 * t + half
+        page_id = bt_ref[b, p]
+        base = pl.multiple_of(page_id * page, page)
+        off = half * page
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[h, pl.ds(base, page)],
+                kbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * half],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[h, pl.ds(base, page)],
+                vbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * half + 1],
+            ),
+        )
+
+    def start_tile(slot, t):
+        for dma in kv_dma(slot, t, 0):
+            dma.start()
+
+        @pl.when(2 * t + 1 < npages)
+        def _():
+            for dma in kv_dma(slot, t, 1):
+                dma.start()
+
+    def wait_tile(slot, t):
+        for dma in kv_dma(slot, t, 0):
+            dma.wait()
+
+        @pl.when(2 * t + 1 < npages)
+        def _():
+            for dma in kv_dma(slot, t, 1):
+                dma.wait()
+
+    kbuf[...] = jnp.zeros_like(kbuf)
+    vbuf[...] = jnp.zeros_like(vbuf)
+    for t0 in range(NBUF):
+        @pl.when(t0 < ntiles)
+        def _():
+            start_tile(t0, jnp.int32(t0))
+
+    acc[...] = jnp.zeros_like(acc)
+    m_i[...] = jnp.full_like(m_i, _NEG_INF)
+    l_i[...] = jnp.zeros_like(l_i)
+
+    q = q_ref[...]  # [G*T, D]
+
+    def body(t, _):
+        slot = lax.rem(t, jnp.int32(NBUF))
+        wait_tile(slot, t)
+        k = kbuf[slot].astype(q.dtype)
+        v = vbuf[slot].astype(q.dtype)
+        s = lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        key_abs = t * tile + lax.broadcasted_iota(jnp.int32, (GL, tile), 1)
+        s = jnp.where(key_abs < clen, s, _NEG_INF)
+
+        m_new = jnp.maximum(m_i[...], jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_i[...] - m_new)
+        p_ij = jnp.exp(s - m_new)
+        l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
+        acc[...] = acc[...] * alpha + lax.dot_general(
+            p_ij.astype(q.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_i[...] = m_new
+
+        @pl.when(t + NBUF < ntiles)
+        def _():
+            start_tile(slot, t + NBUF)
+
+        return 0
+
+    lax.fori_loop(jnp.int32(0), ntiles, body, 0)
+
+    # ---- in-flight block phase: one more online-softmax step ----
+    kb = kblk_ref[...].astype(q.dtype)  # [T, D]
+    vb = vblk_ref[...].astype(q.dtype)
+    mask = mask_ref[...]  # [T, T] int8
+    for g in range(G):  # static unroll: each query-head slice shares the mask
+        rows = pl.ds(g * T, T)
+        qg = q_ref[rows, :]
+        s = lax.dot_general(
+            qg, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [T, T]
+        s = jnp.where(mask != 0, s, _NEG_INF)
+        m_old = m_i[rows, :]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p_ij = jnp.exp(s - m_new)
+        l_i[rows, :] = alpha * l_i[rows, :] + jnp.sum(p_ij, axis=1, keepdims=True)
+        acc[rows, :] = acc[rows, :] * alpha + lax.dot_general(
+            p_ij.astype(q.dtype), vb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_i[rows, :] = m_new
+
+    o_ref[...] = (acc[...] / jnp.maximum(l_i[...], 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "page_size", "interpret"))
+def spec_attention_pallas(
+    q: jax.Array,  # [B, T, NH, D]
+    k_cache_l: jax.Array,  # [KH, num_slots, D]
+    v_cache_l: jax.Array,
+    block_tables: jax.Array,  # [B, P]
+    cache_lens: jax.Array,  # [B]
+    k_new: jax.Array,  # [B, T, KH, D] in-flight block K (not in cache)
+    v_new: jax.Array,
+    intra_mask: jax.Array,  # [B, T, T] bool
+    scale: float,
+    *,
+    page_size: int,
+    interpret: bool = False,
+) -> jax.Array:
+    scale = float(scale)
+    B, T, NH, D = q.shape
+    KH = k_cache_l.shape[0]
+    G = NH // KH
+    GT = G * T
+
+    qr = q.reshape(B, T, KH, G, D).transpose(0, 2, 3, 1, 4).reshape(B, KH, GT, D)
+    kb = k_new.transpose(0, 2, 1, 3)  # [B, KH, T, D]
+    vb = v_new.transpose(0, 2, 1, 3)
+    mask8 = intra_mask.astype(jnp.int8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, KH),
+        in_specs=[
+            pl.BlockSpec((1, 1, GT, D), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, T, D), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, T, D), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, T, T), lambda b, h, *_: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, GT, D), lambda b, h, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((4, 2 * page_size, D), k_cache_l.dtype),
+            pltpu.VMEM((4, 2 * page_size, D), v_cache_l.dtype),
+            pltpu.SemaphoreType.DMA((4, 4)),
+            pltpu.VMEM((GT, D), jnp.float32),
+            pltpu.VMEM((GT, 1), jnp.float32),
+            pltpu.VMEM((GT, 1), jnp.float32),
+        ],
+    )
+
+    def _squeeze(bt, clen, q_ref, k_hbm, v_hbm, kb_ref, vb_ref, m_ref, o_ref, *scr):
+        _kernel(
+            bt, clen, q_ref.at[0, 0], k_hbm, v_hbm, kb_ref.at[0, 0],
+            vb_ref.at[0, 0], m_ref.at[0], o_ref.at[0, 0], *scr,
+            page=page_size, T=T, G=G, scale=scale,
+        )
+
+    out = pl.pallas_call(
+        _squeeze,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KH, GT, D), q.dtype),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), cache_lens.astype(jnp.int32),
+      qr, k_cache_l, v_cache_l, kb, vb, mask8)
+
+    return out.reshape(B, KH, G, T, D).transpose(0, 3, 1, 2, 4).reshape(B, T, NH, D)

@@ -52,3 +52,47 @@ def test_kernel_prefill_positions():
         q[:, :8], k, v, bt, cache_lens, positions, scale, page_size=PAGE, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_spec_kernel_matches_with_block_xla():
+    """MR speculative kernel (committed pages + in-flight block under a tree
+    mask) == the XLA paged_attention_with_block reference."""
+    from jacobiforcing_tpu.ops.attention import paged_attention_with_block
+    from jacobiforcing_tpu.ops.pallas.spec_attention import spec_attention_pallas
+
+    r = np.random.RandomState(0)
+    B, NH, KH, D = 2, 4, 2, 128
+    S, N = 3, 4  # RA + 1 candidate + 1 pseudo segments
+    T = S * N
+    num_pages, pages_per_seq = 16, 6
+    q = jnp.asarray(r.randn(B, T, NH, D), jnp.float32)
+    k = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    v = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    k_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    v_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    bt = np.zeros((B, pages_per_seq), np.int32)
+    for b in range(B):
+        bt[b] = np.arange(b * pages_per_seq, (b + 1) * pages_per_seq)
+    bt = jnp.asarray(bt)
+    cache_lens = jnp.asarray([37, 80], jnp.int32)
+
+    # MR tree mask: same-segment causal; pseudo (seg 2) sees RA (seg 0) fully
+    seg = np.repeat(np.arange(S), N)
+    idx = np.tile(np.arange(N), S)
+    sees = ((seg[:, None] == seg[None, :]) & (idx[None, :] <= idx[:, None])) | (
+        (seg[:, None] == 2) & (seg[None, :] == 0)
+    )
+    # row 5 of batch 1: no intra visibility at all (inactive candidate row)
+    masks = np.broadcast_to(sees, (B, T, T)).copy()
+    masks[1, 5, :] = False
+    intra = jnp.asarray(masks)
+
+    scale = 1.0 / np.sqrt(D)
+    ref = paged_attention_with_block(
+        q, k, v, bt, cache_lens, k_new, v_new, intra, scale, page_size=PAGE
+    )
+    out = spec_attention_pallas(
+        q, k, v, bt, cache_lens, k_new, v_new, intra, scale,
+        page_size=PAGE, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
