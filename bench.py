@@ -106,12 +106,75 @@ def main():
     tps = tpf * iters_per_s
     baseline_tps = 163.9  # reference 7B Jacobi-MR on 1xA100 (BASELINE.md)
     kv_tag = "_kvfp8" if kv_dtype == jnp.float8_e4m3fn else ""
+
+    # Measured-TPF companion: run the in-repo trained demo checkpoint
+    # (apps/train_tpf_demo.py: SFT on a synthetic copy language + the full
+    # collect->pack->consistency loop) through the real engine on held-out
+    # prompts, so the record carries a MEASURED tokens-per-forward instead of
+    # only the reference's assumed 4.0.
+    extra = {}
+    demo_dir = os.path.join(os.path.dirname(__file__), "assets", "tpf_demo")
+    if os.path.isdir(demo_dir) and os.environ.get("JF_BENCH_MEASURED_TPF", "1") != "0":
+        try:
+            extra = measured_tpf_metrics(demo_dir)
+        except Exception as e:  # never fail the headline metric
+            extra = {"measured_tpf_error": str(e)[:120]}
+
     print(json.dumps({
         "metric": f"jacobi_tps_at_tpf4_{preset}_{quant}{kv_tag}_L{L}_B{B}",
         "value": round(tps, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps / baseline_tps, 3),
+        "iters_per_s": round(iters_per_s, 2),
+        **extra,
     }))
+
+
+def measured_tpf_metrics(demo_dir: str) -> dict:
+    """Measured TPF/TPS of the trained demo checkpoint through the engine."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from jacobiforcing_tpu.config import Config, SamplingParams
+    from jacobiforcing_tpu.engine.llm_engine import LLMEngine
+    from jacobiforcing_tpu.utils.loader import load_checkpoint
+
+    with open(os.path.join(demo_dir, "tpf_demo.json")) as f:
+        meta = _json.load(f)
+    N = int(meta.get("block_len", 16))
+    mc, params = load_checkpoint(demo_dir, dtype=jnp.float32)
+    prompts = []
+    with open(os.path.join(demo_dir, "heldout_prompts.jsonl")) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                prompts.append(_json.loads(line)["prompt_ids"])
+    eng = LLMEngine(
+        Config(kvcache_page_size=16, max_model_len=512, jacobi_chunk_tokens=64,
+               eos=-1, prefill_token_buckets=(32, 64, 128, 256, 512)),
+        model_cfg=mc, params=params, num_kv_pages=1024,
+    )
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=64, decode_strategy="jacobi",
+        jacobi_block_len=N, jacobi_max_blocks=1, jacobi_max_iterations=4096,
+    )
+    eng.generate(prompts, sp)  # compile + run (tiny model)
+    toks = eng.stats["generated_tokens"]
+    iters = max(eng.stats["jacobi_iterations"], 1)
+    t0 = time.perf_counter()
+    eng2 = LLMEngine(
+        Config(kvcache_page_size=16, max_model_len=512, jacobi_chunk_tokens=64,
+               eos=-1, prefill_token_buckets=(32, 64, 128, 256, 512)),
+        model_cfg=mc, params=params, num_kv_pages=1024,
+    )
+    eng2.generate(prompts, sp)
+    dt = max(time.perf_counter() - t0, 1e-9)
+    return {
+        "measured_tpf": round(toks / iters, 3),
+        "measured_tpf_model": f"tpf_demo_{mc.hidden_size}h{mc.num_layers}L_N{N}",
+        "measured_tps_demo": round(eng2.stats["generated_tokens"] / dt, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -433,9 +433,45 @@ def jacobi_chunk_multiblock(
             v_new = jnp.zeros_like(k_new)
             return greedy, k_new.at[:, :, :N].set(k_n), v_new.at[:, :, :N].set(v_n)
 
+        def no_cand_fwd(_):
+            # middle tier: pseudos live but the n-gram pool missed — forward
+            # [RA | pseudos] only (T -> K*N tokens).  Segment order keeps RA
+            # first, so slicing rows [:N] + [(1+C)*N:] of the full layout
+            # preserves the tree mask semantics.
+            ps = (1 + C) * N  # pseudo rows start here in the full layout
+            Tm = K * N
+            sel_tok = jnp.concatenate([out_tokens[:, :N], out_tokens[:, ps:]], axis=1)
+            sel_pos = jnp.concatenate([out_pos[:, :N], out_pos[:, ps:]], axis=1)
+            m = jnp.concatenate([
+                jnp.concatenate([intra[:, :N, :N], intra[:, :N, ps:]], axis=2),
+                jnp.concatenate([intra[:, ps:, :N], intra[:, ps:, ps:]], axis=2),
+            ], axis=1)  # [B, Tm, Tm]
+            h, k_n, v_n = forward_spec(
+                params, cfg, sel_tok, sel_pos, st.kv, block_tables,
+                st.cur_len, m, rope,
+            )
+            g = greedy_tokens(params, cfg, h).reshape(B, K, N)
+            greedy = jnp.zeros((B, S, N), jnp.int32)
+            greedy = greedy.at[:, 0].set(g[:, 0]).at[:, 1 + C:].set(g[:, 1:])
+            Lyr = k_n.shape[0]
+            k_new = jnp.zeros((Lyr, B, T) + k_n.shape[3:], k_n.dtype)
+            v_new = jnp.zeros_like(k_new)
+            k_new = k_new.at[:, :, :N].set(k_n[:, :, :N]).at[:, :, ps:].set(k_n[:, :, N:])
+            v_new = v_new.at[:, :, :N].set(v_n[:, :, :N]).at[:, :, ps:].set(v_n[:, :, N:])
+            return greedy, k_new, v_new
+
         if S > 1:
-            ra_only = ~jnp.any(seg_active[:, 1:])
-            greedy, k_new, v_new = lax.cond(ra_only, ra_only_fwd, full_fwd, None)
+            any_cand = jnp.any(seg_active[:, 1 : 1 + C])
+            any_pseudo = jnp.any(seg_active[:, 1 + C :]) if K > 1 else jnp.bool_(False)
+            if K > 1 and C > 0:
+                greedy, k_new, v_new = lax.cond(
+                    any_cand, full_fwd,
+                    lambda _: lax.cond(any_pseudo, no_cand_fwd, ra_only_fwd, None),
+                    None,
+                )
+            else:
+                ra_only = ~jnp.any(seg_active[:, 1:])
+                greedy, k_new, v_new = lax.cond(ra_only, ra_only_fwd, full_fwd, None)
         else:
             greedy, k_new, v_new = full_fwd(None)
 
