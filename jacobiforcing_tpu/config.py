@@ -43,6 +43,10 @@ class Config:
     kvcache_page_size: int = 256
     num_kv_pages: int = -1  # -1 = size from available HBM at startup
     hbm_utilization: float = 0.9
+    # Explicit per-chip HBM capacity override (bytes) for backends whose
+    # memory_stats() is unavailable; 0 = infer from the device kind
+    # (v5e 16GB / v4 32GB / v5p 95GB / v6e 32GB), falling back to 16GB.
+    hbm_bytes: int = 0
 
     # Jacobi decoding knobs (reference config.py:23-30, README.md:224).
     jacobi_enabled: bool = True

@@ -171,17 +171,33 @@ class LLMEngine:
         except Exception:
             pass
         if avail is None:
-            # memory_stats unavailable (e.g. tunneled backends): assume a 16GB
-            # chip minus the resident params and a 2GB workspace reserve
+            # memory_stats unavailable (e.g. tunneled backends): derive chip
+            # HBM from config.hbm_bytes or the device kind, minus the resident
+            # params and a 2GB workspace reserve
+            cap = self.config.hbm_bytes or self._hbm_from_device_kind()
             param_bytes = sum(
                 x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params)
             )
             avail = max(
-                int((16 << 30) * self.config.hbm_utilization) - param_bytes - (2 << 30),
+                int(cap * self.config.hbm_utilization) - param_bytes - (2 << 30),
                 1 << 28,
             )
         npages = int(avail // (bytes_per_tok * page))
         return max(16, min(npages, 40_000))  # reference's 40k hard cap
+
+    @staticmethod
+    def _hbm_from_device_kind() -> int:
+        """Per-chip HBM by TPU generation (public specs); 16GB if unknown."""
+        table = {"v5 lite": 16, "v5e": 16, "v4": 32, "v5p": 95, "v6e": 32,
+                 "v6 lite": 32, "v3": 32, "v2": 16}
+        try:
+            kind = jax.devices()[0].device_kind.lower()
+        except Exception:
+            return 16 << 30
+        for key, gb in table.items():
+            if key in kind:
+                return gb << 30
+        return 16 << 30
 
     # ------------------------------------------------------------------
     SUPPORTED_STRATEGIES = {

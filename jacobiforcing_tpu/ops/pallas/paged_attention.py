@@ -13,13 +13,19 @@ Design (see /opt/skills/guides/pallas_guide.md):
     MXU;
   * block tables and per-seq lengths ride scalar prefetch
     (PrefetchScalarGridSpec) so the kernel can compute page addresses;
-  * KV pages stay in HBM; the kernel DMAs one [page, D] K and V slice per
-    page with double buffering, overlapping DMA with the flash-attention
-    online-softmax update;
+  * KV pages stay in HBM; the kernel DMAs PAGES_PER_TILE [page, D] K and V
+    slices per loop iteration with double buffering, overlapping DMA with the
+    flash-attention online-softmax update;
   * `cache_lens` masks the ragged tail (dead slots are never read -> the
     trim_kv_only_fast contract, reference block_manager.py:534-565);
   * causal masking uses q_start[b] + (row mod L) as the absolute query
     position — all call sites use consecutive positions;
+  * VPU economy (the loop is VPU-bound, not HBM-bound): q is pre-scaled by
+    softmax_scale * log2(e) so the kernel does exp2 with no per-score scale
+    multiply; tiles entirely inside the causal/valid region take a fast path
+    with no iota/compare/select; tail pages past the sequence are fetched as
+    clamped duplicates of the last valid page instead of zero-filling the
+    buffers (dead keys are masked, so values only need to be finite);
   * fp8 KV: per-row dequant scales (ops/kv_cache.py quantize_rows) are
     pre-gathered per sequence OUTSIDE the kernel (the [B, KH, S] fp32 planes
     are ~3% of the page bytes) and staged via block specs; the kernel folds
@@ -31,6 +37,7 @@ Design (see /opt/skills/guides/pallas_guide.md):
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +46,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+import os as _os
+
+# Tile/pipeline geometry, sweepable via env (scripts/probe_attn_kernel.py).
+# Measured on v5e (7B geometry): PP=2/NBUF=3 is best or tied at every probed
+# (B, ctx) — wider 4-page tiles win ~7% at 8k ctx but lose ~40% at 2k because
+# the masked tail tile doubles in width.
+_PP = int(_os.environ.get("JF_PA_PP", "2"))  # pages per loop tile
+_NBUF = int(_os.environ.get("JF_PA_NBUF", "3"))  # DMA pipeline depth
 
 
 def _kernel(
@@ -47,7 +62,7 @@ def _kernel(
     clen_ref,  # [B] int32 valid KV length
     qstart_ref,  # [B] int32 absolute position of query row i=0
     # inputs
-    q_ref,  # [GL, D] VMEM (this program's q tile)
+    q_ref,  # [GL, D] VMEM (this program's q tile, pre-scaled by scale*log2e)
     k_hbm,  # [KH, num_slots, D] HBM
     v_hbm,
     ks_ref,  # [1, S] f32 VMEM: this sequence's gathered K scales (or None)
@@ -56,12 +71,11 @@ def _kernel(
     o_ref,  # [GL, D] VMEM
     # scratch
     kbuf, vbuf,  # [NBUF, TILE, D] VMEM
-    sem,  # DMA sems [NBUF, 4]
+    sem,  # DMA sems [NBUF, 2*PP]
     acc, m_i, l_i,  # [GL, D] f32, [GL, 1] f32, [GL, 1] f32
     *,
     page: int,
     L: int,
-    scale: float,
     scaled: bool,
 ):
     b = pl.program_id(0)
@@ -71,57 +85,36 @@ def _kernel(
     npages = lax.div(clen + jnp.int32(page - 1), jnp.int32(page))
     GL, D = q_ref.shape
 
-    NBUF = 4  # DMA pipeline depth (buffers of PAIRS of pages)
-    tile = 2 * page  # two pages per loop iteration: halves per-byte VPU/
-    # control overhead (softmax passes, masks, semaphores) at the same DMA size
-    ntiles = lax.div(npages + jnp.int32(1), jnp.int32(2))
+    tile = _PP * page
+    ntiles = lax.div(npages + jnp.int32(_PP - 1), jnp.int32(_PP))
 
-    def kv_dma(slot, t, half):
-        p = 2 * t + half
-        page_id = bt_ref[b, p]
-        base = pl.multiple_of(page_id * page, page)
-        off = half * page
-        return (
-            pltpu.make_async_copy(
+    def tile_dmas(slot, t):
+        # Unconditional fetch of _PP pages; page indices past the end clamp to
+        # the last valid page (their key_abs >= clen, so the mask kills them).
+        # Unconditional DMAs keep the scalar-core control flow branch-free and
+        # remove the need to zero the buffers (duplicate data is finite).
+        out = []
+        for j in range(_PP):
+            p = jnp.minimum(_PP * t + jnp.int32(j), npages - 1)
+            page_id = bt_ref[b, p]
+            base = pl.multiple_of(page_id * page, page)
+            off = j * page
+            out.append(pltpu.make_async_copy(
                 k_hbm.at[h, pl.ds(base, page)],
-                kbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * half],
-            ),
-            pltpu.make_async_copy(
+                kbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * j],
+            ))
+            out.append(pltpu.make_async_copy(
                 v_hbm.at[h, pl.ds(base, page)],
-                vbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * half + 1],
-            ),
-        )
-
-    def start_tile(slot, t):
-        for dma in kv_dma(slot, t, 0):
-            dma.start()
-
-        @pl.when(2 * t + 1 < npages)
-        def _():
-            for dma in kv_dma(slot, t, 1):
-                dma.start()
-
-    def wait_tile(slot, t):
-        for dma in kv_dma(slot, t, 0):
-            dma.wait()
-
-        @pl.when(2 * t + 1 < npages)
-        def _():
-            for dma in kv_dma(slot, t, 1):
-                dma.wait()
-
-    # zero the buffers once: an un-fetched second half (odd page count) must
-    # hold finite values — masked scores give exp(-inf)=0, but 0 * NaN in the
-    # PV matmul would poison the output.  Later slot reuse leaves stale-but-
-    # finite K/V data, which masks safely.
-    kbuf[...] = jnp.zeros_like(kbuf)
-    vbuf[...] = jnp.zeros_like(vbuf)
+                vbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * j + 1],
+            ))
+        return out
 
     # warm up: fill the pipeline
-    for t0 in range(NBUF):
+    for t0 in range(_NBUF):
         @pl.when(t0 < ntiles)
         def _():
-            start_tile(t0, jnp.int32(t0))
+            for dma in tile_dmas(t0, jnp.int32(t0)):
+                dma.start()
 
     acc[...] = jnp.zeros_like(acc)
     m_i[...] = jnp.full_like(m_i, _NEG_INF)
@@ -132,8 +125,9 @@ def _kernel(
     qpos = qstart + lax.rem(row, jnp.int32(L))  # [GL, 1] absolute query positions
 
     def body(t, _):
-        slot = lax.rem(t, jnp.int32(NBUF))
-        wait_tile(slot, t)
+        slot = lax.rem(t, jnp.int32(_NBUF))
+        for dma in tile_dmas(slot, t):
+            dma.wait()
 
         k = kbuf[slot].astype(q.dtype)  # [TILE, D] (cast covers f8/int8 KV)
         v = vbuf[slot].astype(q.dtype)
@@ -141,39 +135,51 @@ def _kernel(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [GL, TILE] f32 accumulation from native-dtype inputs
+        )  # [GL, TILE] f32; scale*log2e is folded into q -> exp2 domain
         if scaled:
             # dequant K folded into the scores: column j scales by its key
             # row's scale ((q . k_q) * ks == q . (k_q * ks))
             s = s * ks_ref[:, pl.ds(t * tile, tile)]  # [1, TILE] broadcast
-        key_abs = t * tile + lax.broadcasted_iota(jnp.int32, (GL, tile), 1)
-        # the second half masks itself out when its page was never fetched
-        # (key_abs >= clen there)
-        mask = (key_abs <= qpos) & (key_abs < clen)
-        s = jnp.where(mask, s, _NEG_INF)
 
-        m_new = jnp.maximum(m_i[...], jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_i[...] - m_new)
-        p_ij = jnp.exp(s - m_new)
-        l_new = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
-        if scaled:
-            # dequant V folded into the probabilities:
-            # p @ (v_q * vs) == (p * vs) @ v_q  (l_new uses the true p)
-            pv = (p_ij * vs_ref[:, pl.ds(t * tile, tile)]).astype(q.dtype)
-        else:
-            pv = p_ij.astype(q.dtype)
-        acc[...] = acc[...] * alpha + lax.dot_general(
-            pv, v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_i[...] = m_new
-        l_i[...] = l_new
+        def update(sv):
+            m_new = jnp.maximum(m_i[...], jnp.max(sv, axis=1, keepdims=True))
+            alpha = jnp.exp2(m_i[...] - m_new)
+            p_ij = jnp.exp2(sv - m_new)
+            l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
+            if scaled:
+                # dequant V folded into the probabilities:
+                # p @ (v_q * vs) == (p * vs) @ v_q  (l_i uses the true p)
+                pv = (p_ij * vs_ref[:, pl.ds(t * tile, tile)]).astype(q.dtype)
+            else:
+                pv = p_ij.astype(q.dtype)
+            acc[...] = acc[...] * alpha + lax.dot_general(
+                pv, v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_i[...] = m_new
+
+        # A tile whose last key (t+1)*tile-1 is visible to every query row
+        # (<= min qpos = qstart) and within the live KV needs no mask at all —
+        # that is every tile except the last ~L/tile ones, so the masked path
+        # runs O(1) times per program.
+        is_full = ((t + 1) * tile <= qstart + 1) & ((t + 1) * tile <= clen)
+
+        @pl.when(is_full)
+        def _():
+            update(s)
+
+        @pl.when(~is_full)
+        def _():
+            key_abs = t * tile + lax.broadcasted_iota(jnp.int32, (GL, tile), 1)
+            mask = (key_abs <= qpos) & (key_abs < clen)
+            update(jnp.where(mask, s, _NEG_INF))
 
         # refill the slot we just consumed (pipeline depth NBUF-1 behind it)
-        @pl.when(t + NBUF < ntiles)
+        @pl.when(t + _NBUF < ntiles)
         def _():
-            start_tile(slot, t + NBUF)
+            for dma in tile_dmas(slot, t + _NBUF):
+                dma.start()
 
         return 0
 
@@ -205,8 +211,11 @@ def paged_attention_pallas(
     GL = G * L
     scaled = k_scale_l is not None
 
-    # [B, L, KH, G, D] -> [B, KH, G*L, D] with row r = g*L + i
+    # [B, L, KH, G, D] -> [B, KH, G*L, D] with row r = g*L + i.  Fold the
+    # softmax scale and the exp->exp2 conversion into q once (f32 multiply
+    # before the cast back) so the kernel's score pass is a bare matmul.
     qr = q.reshape(B, L, KH, G, D).transpose(0, 2, 3, 1, 4).reshape(B, KH, GL, D)
+    qr = (qr.astype(jnp.float32) * (scale * math.log2(math.e))).astype(q.dtype)
     q_start = positions[:, 0].astype(jnp.int32)
 
     in_specs = [
@@ -220,11 +229,11 @@ def paged_attention_pallas(
         from jacobiforcing_tpu.ops.kv_cache import gather_scales
 
         P = block_tables.shape[1]
-        # pad the gathered plane to whole tiles (odd page counts read the
-        # clamped tail, which the causal/len mask already zeroes); the dummy
+        # pad the gathered plane to whole tiles (tail pages read the clamped
+        # last page, which the causal/len mask already zeroes); the dummy
         # axis makes the block's trailing dims (1, S) equal the array's, which
         # the Mosaic block-shape rules require
-        S_pad = ((P + 1) // 2) * 2 * page_size
+        S_pad = ((P + _PP - 1) // _PP) * _PP * page_size
         def gather_plane(scale_l):
             g = gather_scales(scale_l, block_tables, page_size)  # [B, S, KH]
             g = g.transpose(0, 2, 1)  # [B, KH, S]
@@ -242,9 +251,9 @@ def paged_attention_pallas(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((4, 2 * page_size, D), k_cache_l.dtype),
-            pltpu.VMEM((4, 2 * page_size, D), v_cache_l.dtype),
-            pltpu.SemaphoreType.DMA((4, 4)),
+            pltpu.VMEM((_NBUF, _PP * page_size, D), k_cache_l.dtype),
+            pltpu.VMEM((_NBUF, _PP * page_size, D), v_cache_l.dtype),
+            pltpu.SemaphoreType.DMA((_NBUF, 2 * _PP)),
             pltpu.VMEM((GL, D), jnp.float32),
             pltpu.VMEM((GL, 1), jnp.float32),
             pltpu.VMEM((GL, 1), jnp.float32),
@@ -263,7 +272,7 @@ def paged_attention_pallas(
         _kernel(
             bt, clen, qs, q_ref.at[0, 0], k_hbm, v_hbm, ks2, vs2,
             o_ref.at[0, 0], *scratch,
-            page=page_size, L=L, scale=scale, scaled=scaled,
+            page=page_size, L=L, scaled=scaled,
         )
 
     out = pl.pallas_call(
