@@ -28,6 +28,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from jacobiforcing_tpu.ops.pallas.paged_attention import _NBUF, _PP
+
 _NEG_INF = -1e30
 
 
@@ -52,7 +54,6 @@ def _kernel(
     page: int,
     T: int,
     G: int,
-    scale: float,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -60,83 +61,81 @@ def _kernel(
     npages = lax.div(clen + jnp.int32(page - 1), jnp.int32(page))
     GL, D = q_ref.shape
 
-    NBUF = 4
-    tile = 2 * page
-    ntiles = lax.div(npages + jnp.int32(1), jnp.int32(2))
+    tile = _PP * page
+    ntiles = lax.div(npages + jnp.int32(_PP - 1), jnp.int32(_PP))
 
-    def kv_dma(slot, t, half):
-        p = 2 * t + half
-        page_id = bt_ref[b, p]
-        base = pl.multiple_of(page_id * page, page)
-        off = half * page
-        return (
-            pltpu.make_async_copy(
+    def tile_dmas(slot, t):
+        # Unconditional fetch of _PP pages; indices past the end clamp to the
+        # last valid page (key_abs >= clen there, so the mask kills them) —
+        # branch-free scalar control, no buffer zeroing needed.
+        out = []
+        for j in range(_PP):
+            p = jnp.minimum(_PP * t + jnp.int32(j), npages - 1)
+            page_id = bt_ref[b, p]
+            base = pl.multiple_of(page_id * page, page)
+            off = j * page
+            out.append(pltpu.make_async_copy(
                 k_hbm.at[h, pl.ds(base, page)],
-                kbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * half],
-            ),
-            pltpu.make_async_copy(
+                kbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * j],
+            ))
+            out.append(pltpu.make_async_copy(
                 v_hbm.at[h, pl.ds(base, page)],
-                vbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * half + 1],
-            ),
-        )
+                vbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * j + 1],
+            ))
+        return out
 
-    def start_tile(slot, t):
-        for dma in kv_dma(slot, t, 0):
-            dma.start()
-
-        @pl.when(2 * t + 1 < npages)
-        def _():
-            for dma in kv_dma(slot, t, 1):
-                dma.start()
-
-    def wait_tile(slot, t):
-        for dma in kv_dma(slot, t, 0):
-            dma.wait()
-
-        @pl.when(2 * t + 1 < npages)
-        def _():
-            for dma in kv_dma(slot, t, 1):
-                dma.wait()
-
-    kbuf[...] = jnp.zeros_like(kbuf)
-    vbuf[...] = jnp.zeros_like(vbuf)
-    for t0 in range(NBUF):
+    for t0 in range(_NBUF):
         @pl.when(t0 < ntiles)
         def _():
-            start_tile(t0, jnp.int32(t0))
+            for dma in tile_dmas(t0, jnp.int32(t0)):
+                dma.start()
 
     acc[...] = jnp.zeros_like(acc)
     m_i[...] = jnp.full_like(m_i, _NEG_INF)
     l_i[...] = jnp.zeros_like(l_i)
 
-    q = q_ref[...]  # [G*T, D]
+    q = q_ref[...]  # [G*T, D], pre-scaled by scale*log2e (exp2 domain)
 
     def body(t, _):
-        slot = lax.rem(t, jnp.int32(NBUF))
-        wait_tile(slot, t)
+        slot = lax.rem(t, jnp.int32(_NBUF))
+        for dma in tile_dmas(slot, t):
+            dma.wait()
         k = kbuf[slot].astype(q.dtype)
         v = vbuf[slot].astype(q.dtype)
         s = lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
-        key_abs = t * tile + lax.broadcasted_iota(jnp.int32, (GL, tile), 1)
-        s = jnp.where(key_abs < clen, s, _NEG_INF)
-
-        m_new = jnp.maximum(m_i[...], jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_i[...] - m_new)
-        p_ij = jnp.exp(s - m_new)
-        l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
-        acc[...] = acc[...] * alpha + lax.dot_general(
-            p_ij.astype(q.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
         )
-        m_i[...] = m_new
 
-        @pl.when(t + NBUF < ntiles)
+        def update(sv):
+            m_new = jnp.maximum(m_i[...], jnp.max(sv, axis=1, keepdims=True))
+            alpha = jnp.exp2(m_i[...] - m_new)
+            p_ij = jnp.exp2(sv - m_new)
+            l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
+            acc[...] = acc[...] * alpha + lax.dot_general(
+                p_ij.astype(q.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_i[...] = m_new
+
+        # every committed key is visible to every in-flight query, so only the
+        # ragged tail tile needs the length mask
+        is_full = (t + 1) * tile <= clen
+
+        @pl.when(is_full)
         def _():
-            start_tile(slot, t + NBUF)
+            update(s)
+
+        @pl.when(~is_full)
+        def _():
+            key_abs = t * tile + lax.broadcasted_iota(jnp.int32, (GL, tile), 1)
+            update(jnp.where(key_abs < clen, s, _NEG_INF))
+
+        @pl.when(t + _NBUF < ntiles)
+        def _():
+            for dma in tile_dmas(slot, t + _NBUF):
+                dma.start()
 
         return 0
 
@@ -152,12 +151,12 @@ def _kernel(
         s = lax.dot_general(
             qg, kb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [T, T]
+        )  # [T, T]; scale*log2e folded into q -> exp2 domain
         s = jnp.where(mask != 0, s, _NEG_INF)
         m_old = m_i[rows, :]
         m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p_ij = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m_old - m_new)
+        p_ij = jnp.exp2(s - m_new)
         l_i[rows, :] = alpha * l_i[rows, :] + jnp.sum(p_ij, axis=1, keepdims=True)
         acc[rows, :] = acc[rows, :] * alpha + lax.dot_general(
             p_ij.astype(q.dtype), vb,
@@ -190,7 +189,11 @@ def spec_attention_pallas(
     G = NH // KH
     GT = G * T
 
+    import math as _math
+
     qr = q.reshape(B, T, KH, G, D).transpose(0, 2, 3, 1, 4).reshape(B, KH, GT, D)
+    # fold the softmax scale + exp->exp2 conversion into q once
+    qr = (qr.astype(jnp.float32) * (scale * _math.log2(_math.e))).astype(q.dtype)
     kb = k_new.transpose(0, 2, 1, 3)  # [B, KH, T, D]
     vb = v_new.transpose(0, 2, 1, 3)
     mask8 = intra_mask.astype(jnp.int8)
@@ -208,9 +211,9 @@ def spec_attention_pallas(
         ],
         out_specs=pl.BlockSpec((1, 1, GT, D), lambda b, h, *_: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((4, 2 * page_size, D), k_cache_l.dtype),
-            pltpu.VMEM((4, 2 * page_size, D), v_cache_l.dtype),
-            pltpu.SemaphoreType.DMA((4, 4)),
+            pltpu.VMEM((_NBUF, _PP * page_size, D), k_cache_l.dtype),
+            pltpu.VMEM((_NBUF, _PP * page_size, D), v_cache_l.dtype),
+            pltpu.SemaphoreType.DMA((_NBUF, 2 * _PP)),
             pltpu.VMEM((GT, D), jnp.float32),
             pltpu.VMEM((GT, 1), jnp.float32),
             pltpu.VMEM((GT, 1), jnp.float32),
@@ -221,7 +224,7 @@ def spec_attention_pallas(
         _kernel(
             bt, clen, q_ref.at[0, 0], k_hbm, v_hbm, kb_ref.at[0, 0],
             vb_ref.at[0, 0], m_ref.at[0], o_ref.at[0, 0], *scr,
-            page=page_size, T=T, G=G, scale=scale,
+            page=page_size, T=T, G=G,
         )
 
     out = pl.pallas_call(
