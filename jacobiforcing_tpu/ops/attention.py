@@ -35,6 +35,25 @@ from jacobiforcing_tpu.ops.kv_cache import gather_pages, gather_scales
 _NEG_INF = -1e30
 
 
+def kernel_feasible(q, k_cache_l, page_size: int) -> bool:
+    """Whether the Pallas decode/spec kernels can serve this shape.
+
+    Constraints: lane-aligned head_dim, sublane-aligned page, bf16/f32 q, and
+    a bounded query tile — the kernels keep all G*T query rows (plus a
+    [G*T, tile] score block) resident in VMEM, which fits for decode blocks
+    (L <= 128) but OOMs at prefill scale (measured on v5e: G*T = 14336 needs
+    21.75M scoped VMEM vs the 16M limit).  Prefill takes the XLA path.
+    """
+    B, T, NH, D = q.shape
+    KH = k_cache_l.shape[0]
+    return (
+        D % 128 == 0
+        and page_size % 16 == 0
+        and q.dtype in (jnp.bfloat16, jnp.float32)
+        and (NH // KH) * T <= 2048
+    )
+
+
 def _gather_dequant(cache_l, scale_l, block_tables, page_size, dtype):
     """Gather pages; apply per-row fp8 dequant scales when present."""
     x = gather_pages(cache_l, block_tables, page_size).astype(dtype)  # [B,S,KH,D]
@@ -115,12 +134,7 @@ def paged_attention_with_block(
     scaled caches stay on the XLA path (dequant on gather).
     """
     impl = os.environ.get("JF_ATTN_IMPL", "auto")
-    kernel_ok = (
-        q.shape[-1] % 128 == 0
-        and page_size % 16 == 0
-        and q.dtype in (jnp.bfloat16, jnp.float32)
-        and k_scale_l is None
-    )
+    kernel_ok = kernel_feasible(q, k_cache_l, page_size) and k_scale_l is None
     if impl in ("auto", "pallas") and kernel_ok:
         if impl == "pallas" or jax.default_backend() not in ("cpu",):
             from jacobiforcing_tpu.ops.pallas.spec_attention import (
@@ -183,12 +197,7 @@ def paged_attention(
             q, k_cache_l, v_cache_l, block_tables, cache_lens, positions, scale,
             page_size=page_size, k_scale_l=k_scale_l, v_scale_l=v_scale_l,
         )
-    # Kernel constraints: lane-aligned head_dim, sublane-aligned page.
-    kernel_ok = (
-        q.shape[-1] % 128 == 0
-        and page_size % 16 == 0
-        and q.dtype in (jnp.bfloat16, jnp.float32)
-    )
+    kernel_ok = kernel_feasible(q, k_cache_l, page_size)
     if impl in ("auto", "pallas") and kernel_ok:
         try:
             # auto: the kernel wins from B >= 2 (1.7x at B=8, 8k ctx) and at

@@ -96,3 +96,17 @@ def test_spec_kernel_matches_with_block_xla():
         page_size=PAGE, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_feasible_bounds_query_tile():
+    """Prefill-scale query blocks must NOT dispatch to the Pallas kernel: the
+    kernel holds all G*T query rows in VMEM (measured OOM at G*T=14336)."""
+    from jacobiforcing_tpu.ops.attention import kernel_feasible
+
+    k = jnp.zeros((4, 256, 128), jnp.bfloat16)
+    ok = jnp.zeros((1, 64, 28, 128), jnp.bfloat16)  # decode block: G*L=448
+    big = jnp.zeros((1, 2048, 28, 128), jnp.bfloat16)  # prefill: G*T=14336
+    assert kernel_feasible(ok, k, 256)
+    assert not kernel_feasible(big, k, 256)
+    assert not kernel_feasible(ok, k, 8)  # page not sublane-aligned
+    assert not kernel_feasible(ok.astype(jnp.float16), k, 256)
