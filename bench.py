@@ -24,6 +24,8 @@ import numpy as np
 
 
 def main():
+    import gc
+
     import jax
     import jax.numpy as jnp
 
@@ -107,6 +109,13 @@ def main():
     baseline_tps = 163.9  # reference 7B Jacobi-MR on 1xA100 (BASELINE.md)
     kv_tag = "_kvfp8" if kv_dtype == jnp.float8_e4m3fn else ""
 
+    # Release the headline run's device memory (7B params + KV) before the
+    # companion metrics allocate their own; without this the B=8 W8A8
+    # companion OOMs a 16GB chip.
+    del params, kv, res, tokens, tokens2, block_tables
+    chunk = None
+    gc.collect()
+
     # Measured-TPF companion: run the in-repo trained demo checkpoint
     # (apps/train_tpf_demo.py: SFT on a synthetic copy language + the full
     # collect->pack->consistency loop) through the real engine on held-out
@@ -120,6 +129,17 @@ def main():
         except Exception as e:  # never fail the headline metric
             extra = {"measured_tpf_error": str(e)[:120]}
 
+    # Batched-serving companion (the reference engine's own headline regime,
+    # README.md:192 "800-1000 tok/s single GPU"): B=8 W8A8 int8-MXU decode.
+    if (
+        preset == "7b" and B == 1
+        and os.environ.get("JF_BENCH_BATCH8", "1") != "0"
+    ):
+        try:
+            extra["batch8_w8a8_tps_at_tpf4"] = round(batch8_w8a8_tps(), 2)
+        except Exception as e:
+            extra["batch8_error"] = str(e)[:120]
+
     print(json.dumps({
         "metric": f"jacobi_tps_at_tpf4_{preset}_{quant}{kv_tag}_L{L}_B{B}",
         "value": round(tps, 2),
@@ -128,6 +148,50 @@ def main():
         "iters_per_s": round(iters_per_s, 2),
         **extra,
     }))
+
+
+def batch8_w8a8_tps(B: int = 8, ctx: int = 512, L: int = 64) -> float:
+    """B=8 W8A8 Jacobi decode-loop throughput at TPF=4 (companion metric)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from jacobiforcing_tpu.engine import runner
+    from jacobiforcing_tpu.models.qwen import ModelConfig, rope_table
+    from jacobiforcing_tpu.ops.kv_cache import alloc_kv_cache
+    from jacobiforcing_tpu.ops.quant import init_quantized_params
+
+    cfg = dc.replace(ModelConfig(), act_quant=True)
+    params = init_quantized_params(cfg, jax.random.PRNGKey(0))
+    rope = rope_table(cfg)
+    page, budget = 256, 128
+    pps = (ctx + budget + 2 * L) // page + 1
+    cap = ctx + budget + 2 * L + 1
+    kv = alloc_kv_cache(
+        cfg.num_layers, B * pps, page, cfg.num_kv_heads, cfg.head_dim,
+        jnp.bfloat16,
+    )
+    bt = jnp.asarray(np.arange(B * pps, dtype=np.int32).reshape(B, pps))
+    tokens = jnp.zeros((B, cap), jnp.int32).at[:, :ctx].set(1)
+
+    def chunk(kv, tokens):
+        return runner.jacobi_chunk_greedy(
+            params, cfg, rope, kv, tokens, jnp.full((B,), ctx, jnp.int32),
+            jnp.ones((B, L), jnp.int32), jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32), bt, jnp.full((B,), pps * page, jnp.int32),
+            jnp.full((B,), budget, jnp.int32), jax.random.PRNGKey(1), -1,
+            jnp.full((B,), budget + 8, jnp.int32), chunk_budget=budget,
+        )
+
+    res = chunk(kv, tokens)
+    np.asarray(res["iters"])
+    tokens2 = jnp.zeros((B, cap), jnp.int32).at[:, :ctx].set(1)
+    t0 = time.perf_counter()
+    res = chunk(res["kv"], tokens2)
+    total_iters = int(np.asarray(res["iters"]).sum())
+    dt = time.perf_counter() - t0
+    return 4.0 * total_iters / dt
 
 
 def measured_tpf_metrics(demo_dir: str) -> dict:
