@@ -195,12 +195,17 @@ def batch8_w8a8_tps(B: int = 8, ctx: int = 512, L: int = 64) -> float:
 
 
 def measured_tpf_metrics(demo_dir: str) -> dict:
-    """Measured TPF/TPS of the trained demo checkpoint through the engine."""
+    """Measured TPF of the trained demo checkpoint, through the eval harness
+    (apps/bench_generate — the reference's per-example protocol, so
+    measured_tpf is directly comparable to the reference's
+    mean_tokens_per_forward figures)."""
     import json as _json
+    import tempfile
 
     import jax.numpy as jnp
 
-    from jacobiforcing_tpu.config import Config, SamplingParams
+    from jacobiforcing_tpu.apps import bench_generate
+    from jacobiforcing_tpu.config import Config
     from jacobiforcing_tpu.engine.llm_engine import LLMEngine
     from jacobiforcing_tpu.utils.loader import load_checkpoint
 
@@ -208,36 +213,27 @@ def measured_tpf_metrics(demo_dir: str) -> dict:
         meta = _json.load(f)
     N = int(meta.get("block_len", 16))
     mc, params = load_checkpoint(demo_dir, dtype=jnp.float32)
-    prompts = []
-    with open(os.path.join(demo_dir, "heldout_prompts.jsonl")) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                prompts.append(_json.loads(line)["prompt_ids"])
     eng = LLMEngine(
         Config(kvcache_page_size=16, max_model_len=512, jacobi_chunk_tokens=64,
                eos=-1, prefill_token_buckets=(32, 64, 128, 256, 512)),
         model_cfg=mc, params=params, num_kv_pages=1024,
     )
-    sp = SamplingParams(
-        temperature=0.0, max_tokens=64, decode_strategy="jacobi",
-        jacobi_block_len=N, jacobi_max_blocks=1, jacobi_max_iterations=4096,
-    )
-    eng.generate(prompts, sp)  # compile + run (tiny model)
-    toks = eng.stats["generated_tokens"]
-    iters = max(eng.stats["jacobi_iterations"], 1)
-    t0 = time.perf_counter()
-    eng2 = LLMEngine(
-        Config(kvcache_page_size=16, max_model_len=512, jacobi_chunk_tokens=64,
-               eos=-1, prefill_token_buckets=(32, 64, 128, 256, 512)),
-        model_cfg=mc, params=params, num_kv_pages=1024,
-    )
-    eng2.generate(prompts, sp)
-    dt = max(time.perf_counter() - t0, 1e-9)
+    args = bench_generate.make_parser().parse_args([])
+    args.strategy = "jacobi"
+    args.n_token_seq_len = N
+    args.max_blocks = 1
+    args.max_new_tokens = 64
+    args.max_iterations = 4096
+    args.dataset = os.path.join(demo_dir, "heldout_prompts.jsonl")
+    args.output_dir = tempfile.mkdtemp(prefix="jf_bench_tpf_")
+    agg, _ = bench_generate.run(args, engine=eng, tokenizer=None)
     return {
-        "measured_tpf": round(toks / iters, 3),
+        "measured_tpf": agg["mean_tokens_per_forward"],
+        "measured_tpf_aggregate": round(
+            1.0 / max(agg["mean_iter_per_token"], 1e-9), 3
+        ),
         "measured_tpf_model": f"tpf_demo_{mc.hidden_size}h{mc.num_layers}L_N{N}",
-        "measured_tps_demo": round(eng2.stats["generated_tokens"] / dt, 1),
+        "measured_tps_demo": agg["mean_tokens_per_s"],
     }
 
 

@@ -37,28 +37,33 @@ def main():
     )
     rope = rope_table(cfg)
     B, L, page = 1, 64, 256
-    budget = 128
+    budget = 256
     pps = (ctx + budget + 4 * L) // page + 1
     cap = ctx + budget + 4 * L + 1
 
-    def bench(fn, n_warm=1, n=3):
-        res = fn()
+    def mk_tokens():
+        return jnp.zeros((B, cap), jnp.int32).at[:, :ctx].set(1)
+
+    def bench(fn, kv0, n=3):
+        # jacobi chunk programs DONATE kv and tokens: thread the returned kv
+        # and hand each call a fresh token buffer
+        res = fn(kv0, mk_tokens())
         np.asarray(res["iters"])
         t0 = time.perf_counter()
-        tot = 0
+        tot = toks = 0
         for _ in range(n):
-            res = fn()
+            res = fn(res["kv"], mk_tokens())
             tot += int(np.asarray(res["iters"]).sum())
+            toks += int(np.asarray(res.get("generated", res["iters"])).sum())
         dt = time.perf_counter() - t0
-        return dt / max(tot, 1) * 1e3, tot
+        return dt / max(tot, 1) * 1e3, tot, toks, dt
 
     # ---- single-block ----
     kv = alloc_kv_cache(cfg.num_layers, B * pps, page, cfg.num_kv_heads,
                         cfg.head_dim, jnp.bfloat16)
     bt = jnp.asarray(np.arange(B * pps, dtype=np.int32).reshape(B, pps))
-    tokens = jnp.zeros((B, cap), jnp.int32).at[:, :ctx].set(1)
 
-    def single():
+    def single(kv, tokens):
         return runner.jacobi_chunk_greedy(
             params, cfg, rope, kv, tokens, jnp.full((B,), ctx, jnp.int32),
             jnp.ones((B, L), jnp.int32), jnp.zeros((B,), bool),
@@ -67,8 +72,9 @@ def main():
             jnp.full((B,), budget + 8, jnp.int32), chunk_budget=budget,
         )
 
-    ms_s, it_s = bench(single)
-    print(f"single-block: {ms_s:.2f} ms/iter ({it_s} iters)")
+    ms_s, it_s, tk_s, dt_s = bench(single, kv)
+    print(f"single-block: {ms_s:.2f} ms/iter ({it_s} iters, {tk_s} toks, "
+          f"{tk_s/dt_s:.1f} tok/s raw)")
 
     # ---- MR: K=2, C=4 (reference recommended config) ----
     K, C, N = 2, 4, L
@@ -76,9 +82,11 @@ def main():
     kv2 = alloc_kv_cache(cfg.num_layers, B * pps, page, cfg.num_kv_heads,
                          cfg.head_dim, jnp.bfloat16)
 
-    def mr():
+    la_off = jnp.full((B,), N, jnp.int32)  # lookahead_start=N: candidates off
+
+    def mr(kv, tokens, la):
         return multiblock.jacobi_chunk_multiblock(
-            params, cfg, rope, kv2, tokens, jnp.full((B,), ctx, jnp.int32),
+            params, cfg, rope, kv, tokens, jnp.full((B,), ctx, jnp.int32),
             jnp.ones((B, K, N), jnp.int32),  # blk_draft
             jnp.full((B, K), N, jnp.int32).at[:, 1:].set(0),  # blk_dlen
             jnp.zeros((B, K), jnp.int32),  # blk_acc
@@ -96,14 +104,25 @@ def main():
             bt, jnp.full((B,), pps * page, jnp.int32),
             jnp.full((B,), budget, jnp.int32), -1, 0,
             jnp.full((B,), int(np.ceil(0.8 * N)), jnp.int32),
-            jnp.zeros((B,), jnp.int32),
+            la,
             jnp.full((B,), budget + 8, jnp.int32),
             N=N, K=K, C=C, W=W, chunk_budget=budget,
         )
 
-    ms_m, it_m = bench(mr)
-    print(f"MR K={K} C={C}: {ms_m:.2f} ms/iter ({it_m} iters)")
-    print(f"ratio MR/single: {ms_m/ms_s:.2f}x (target <= ~1.3x)")
+    import functools
+
+    ms_m, it_m, tk_m, dt_m = bench(
+        functools.partial(mr, la=jnp.zeros((B,), jnp.int32)), kv2
+    )
+    print(f"MR K={K} C={C} (candidates on): {ms_m:.2f} ms/iter "
+          f"({it_m} iters, {tk_m} toks, {tk_m/dt_m:.1f} tok/s raw)")
+    kv3 = alloc_kv_cache(cfg.num_layers, B * pps, page, cfg.num_kv_heads,
+                         cfg.head_dim, jnp.bfloat16)
+    ms_n, it_n, tk_n, dt_n = bench(functools.partial(mr, la=la_off), kv3)
+    print(f"MR K={K} C={C} (candidates off, middle tier): {ms_n:.2f} ms/iter "
+          f"({it_n} iters, {tk_n} toks, {tk_n/dt_n:.1f} tok/s raw)")
+    print(f"ratio MR-nocand/single: {ms_n/ms_s:.2f}x (target <= ~1.3x); "
+          f"MR-full/single: {ms_m/ms_s:.2f}x")
 
 
 if __name__ == "__main__":
