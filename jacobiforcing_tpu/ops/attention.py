@@ -35,14 +35,17 @@ from jacobiforcing_tpu.ops.kv_cache import gather_pages, gather_scales
 _NEG_INF = -1e30
 
 
-def kernel_feasible(q, k_cache_l, page_size: int) -> bool:
+def kernel_feasible(q, k_cache_l, page_size: int, max_rows: int | None = 2048) -> bool:
     """Whether the Pallas decode/spec kernels can serve this shape.
 
     Constraints: lane-aligned head_dim, sublane-aligned page, bf16/f32 q, and
-    a bounded query tile — the kernels keep all G*T query rows (plus a
-    [G*T, tile] score block) resident in VMEM, which fits for decode blocks
-    (L <= 128) but OOMs at prefill scale (measured on v5e: G*T = 14336 needs
-    21.75M scoped VMEM vs the 16M limit).  Prefill takes the XLA path.
+    (when `max_rows` is set) a bounded query tile — the spec kernel keeps all
+    G*T query rows (plus a [G*T, tile] score block) resident in VMEM, which
+    fits for decode blocks (L <= 128) but OOMs at prefill scale (measured on
+    v5e: G*T = 14336 needs 21.75M scoped VMEM vs the 16M limit).  The paged
+    decode kernel has no row cap: prefill-scale query sets take its
+    query-tiled path (ops/pallas/paged_attention._prefill_tiled), so callers
+    pass max_rows=None for it.
     """
     B, T, NH, D = q.shape
     KH = k_cache_l.shape[0]
@@ -50,7 +53,7 @@ def kernel_feasible(q, k_cache_l, page_size: int) -> bool:
         D % 128 == 0
         and page_size % 16 == 0
         and q.dtype in (jnp.bfloat16, jnp.float32)
-        and (NH // KH) * T <= 2048
+        and (max_rows is None or (NH // KH) * T <= max_rows)
     )
 
 
@@ -197,17 +200,24 @@ def paged_attention(
             q, k_cache_l, v_cache_l, block_tables, cache_lens, positions, scale,
             page_size=page_size, k_scale_l=k_scale_l, v_scale_l=v_scale_l,
         )
-    kernel_ok = kernel_feasible(q, k_cache_l, page_size)
+    kernel_ok = kernel_feasible(q, k_cache_l, page_size, max_rows=None)
     if impl in ("auto", "pallas") and kernel_ok:
         try:
             # auto: the kernel wins from B >= 2 (1.7x at B=8, 8k ctx) and at
             # B == 1 once the context is long (494 vs 465 tok/s at 7.7k on
             # 1.5B) — the XLA gather path only pipelines better for short
-            # single-stream contexts.
+            # single-stream contexts.  Prefill-scale query sets (G*T beyond
+            # the VMEM row cap) route to the query-tiled flash path, which
+            # beats the dense-score XLA fallback once the KV span is
+            # non-trivial.
+            from jacobiforcing_tpu.ops.pallas import paged_attention as _pa
+
+            B, T, NH, _ = q.shape
+            prefill_scale = (NH // k_cache_l.shape[0]) * T > _pa.MAX_Q_ROWS
             long_ctx = block_tables.shape[1] * page_size >= 4096
             if impl == "pallas" or (
                 jax.default_backend() not in ("cpu",)
-                and (q.shape[0] >= 2 or long_ctx)
+                and (prefill_scale or q.shape[0] >= 2 or long_ctx)
             ):
                 from jacobiforcing_tpu.ops.pallas.paged_attention import (
                     paged_attention_pallas,

@@ -55,6 +55,12 @@ import os as _os
 _PP = int(_os.environ.get("JF_PA_PP", "2"))  # pages per loop tile
 _NBUF = int(_os.environ.get("JF_PA_NBUF", "3"))  # DMA pipeline depth
 
+# Max G*T query rows a single program keeps resident in VMEM (measured on
+# v5e: 2048 rows of D=128 fit; 14336 does not).  Larger query sets take the
+# query-tiled prefill path (_prefill_tiled).  Module-level so tests can lower
+# it to exercise the tiled path at CPU-interpretable sizes.
+MAX_Q_ROWS = int(_os.environ.get("JF_PA_MAXROWS", "2048"))
+
 
 def _kernel(
     # scalar prefetch
@@ -77,12 +83,20 @@ def _kernel(
     page: int,
     L: int,
     scaled: bool,
+    tiled: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
     clen = clen_ref[b]
     qstart = qstart_ref[b]
-    npages = lax.div(clen + jnp.int32(page - 1), jnp.int32(page))
+    if tiled:
+        # Query-tiled prefill: program qt handles query rows [qt*L, (qt+1)*L).
+        qstart = qstart + pl.program_id(2) * jnp.int32(L)
+    # Causal bound: no query row in this tile sees keys at positions
+    # >= qstart + L, so the KV stream stops there (for decode tiles this
+    # equals clen; for early prefill tiles it cuts the loop short).
+    kv_limit = jnp.minimum(clen, qstart + jnp.int32(L))
+    npages = lax.div(kv_limit + jnp.int32(page - 1), jnp.int32(page))
     GL, D = q_ref.shape
 
     tile = _PP * page
@@ -211,6 +225,15 @@ def paged_attention_pallas(
     GL = G * L
     scaled = k_scale_l is not None
 
+    if GL > MAX_Q_ROWS:
+        # Prefill-scale T: tile the queries over a third grid axis so VMEM
+        # holds only G*QT rows per program (flash-attention query tiling).
+        return _prefill_tiled(
+            q, k_cache_l, v_cache_l, block_tables, cache_lens, positions,
+            scale, page_size=page_size, interpret=interpret,
+            k_scale_l=k_scale_l, v_scale_l=v_scale_l,
+        )
+
     # [B, L, KH, G, D] -> [B, KH, G*L, D] with row r = g*L + i.  Fold the
     # softmax scale and the exp->exp2 conversion into q once (f32 multiply
     # before the cast back) so the kernel's score pass is a bare matmul.
@@ -284,3 +307,116 @@ def paged_attention_pallas(
 
     # [B, KH, G*L, D] -> [B, L, NH, D]
     return out.reshape(B, KH, G, L, D).transpose(0, 3, 1, 2, 4).reshape(B, L, NH, D)
+
+
+def _prefill_tiled(
+    q: jax.Array,  # [B, T, NH, D] prefill-scale T (G*T > MAX_Q_ROWS)
+    k_cache_l: jax.Array,  # [KH, num_slots, D]
+    v_cache_l: jax.Array,
+    block_tables: jax.Array,  # [B, P]
+    cache_lens: jax.Array,  # [B]
+    positions: jax.Array,  # [B, T] consecutive
+    scale: float,
+    *,
+    page_size: int,
+    interpret: bool = False,
+    k_scale_l=None,
+    v_scale_l=None,
+) -> jax.Array:
+    """Query-tiled flash prefill over the paged cache.
+
+    Same online-softmax loop as the decode kernel, with a third grid axis
+    tiling the T queries into QT-row chunks so each program holds only G*QT
+    rows in VMEM.  Program (b, h, qt) covers absolute query positions
+    [qstart_b + qt*QT, qstart_b + (qt+1)*QT); its KV stream is causally
+    bounded at qstart + QT, so early tiles run short loops (total KV traffic
+    ~ T^2/2 keys per kv head — the flash-attention prefill schedule).
+
+    Replaces the XLA fallback for context (a) of the reference's three
+    flash-attn call sites (inference_engine/layers/attention.py:142-151,
+    varlen prefill with prefix-cache block tables), which materializes dense
+    [KH, G, T, S] score tensors at prefill scale.
+    """
+    B, T, NH, D = q.shape
+    KH = k_cache_l.shape[0]
+    G = NH // KH
+    QT = max(128, (MAX_Q_ROWS // G) // 128 * 128)
+    nqt = -(-T // QT)
+    T_pad = nqt * QT
+    GQT = G * QT
+    scaled = k_scale_l is not None
+
+    # [B, T, NH, D] -> [B, KH, nqt, G*QT, D], row r = g*QT + i within a tile.
+    qr = q.reshape(B, T, KH, G, D).transpose(0, 2, 3, 1, 4)  # [B, KH, G, T, D]
+    qr = jnp.pad(qr, ((0, 0), (0, 0), (0, 0), (0, T_pad - T), (0, 0)))
+    qr = qr.reshape(B, KH, G, nqt, QT, D).transpose(0, 1, 3, 2, 4, 5)
+    qr = qr.reshape(B, KH, nqt, GQT, D)
+    qr = (qr.astype(jnp.float32) * (scale * math.log2(math.e))).astype(q.dtype)
+    q_start = positions[:, 0].astype(jnp.int32)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, GQT, D), lambda b, h, t, *_: (b, h, t, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [block_tables.astype(jnp.int32), cache_lens.astype(jnp.int32),
+            q_start, qr, k_cache_l, v_cache_l]
+    if scaled:
+        from jacobiforcing_tpu.ops.kv_cache import gather_scales
+
+        P = block_tables.shape[1]
+        S_pad = ((P + _PP - 1) // _PP) * _PP * page_size
+
+        def gather_plane(scale_l):
+            g = gather_scales(scale_l, block_tables, page_size)  # [B, S, KH]
+            g = g.transpose(0, 2, 1)
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, S_pad - g.shape[-1])))
+            return g[:, :, None, :]  # [B, KH, 1, S_pad]
+
+        args += [gather_plane(k_scale_l), gather_plane(v_scale_l)]
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, t, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, t, *_: (b, h, 0, 0)),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, KH, nqt),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, 1, GQT, D), lambda b, h, t, *_: (b, h, t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((_NBUF, _PP * page_size, D), k_cache_l.dtype),
+            pltpu.VMEM((_NBUF, _PP * page_size, D), v_cache_l.dtype),
+            pltpu.SemaphoreType.DMA((_NBUF, 2 * _PP)),
+            pltpu.VMEM((GQT, D), jnp.float32),
+            pltpu.VMEM((GQT, 1), jnp.float32),
+            pltpu.VMEM((GQT, 1), jnp.float32),
+        ],
+    )
+
+    def _squeeze_kernel(bt, clen, qs, *rest):
+        if scaled:
+            q_ref, k_hbm, v_hbm, ks_ref, vs_ref, o_ref = rest[:6]
+            scratch = rest[6:]
+            ks2, vs2 = ks_ref.at[0, 0], vs_ref.at[0, 0]
+        else:
+            q_ref, k_hbm, v_hbm, o_ref = rest[:4]
+            scratch = rest[4:]
+            ks2 = vs2 = None
+        _kernel(
+            bt, clen, qs, q_ref.at[0, 0, 0], k_hbm, v_hbm, ks2, vs2,
+            o_ref.at[0, 0, 0], *scratch,
+            page=page_size, L=QT, scaled=scaled, tiled=True,
+        )
+
+    out = pl.pallas_call(
+        _squeeze_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KH, nqt, GQT, D), q.dtype),
+        interpret=interpret,
+    )(*args)
+
+    # [B, KH, nqt, G*QT, D] -> [B, T, NH, D]
+    out = out.reshape(B, KH, nqt, G, QT, D).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(B, KH, G, T_pad, D)[:, :, :, :T]
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, T, NH, D)

@@ -110,3 +110,66 @@ def test_kernel_feasible_bounds_query_tile():
     assert not kernel_feasible(big, k, 256)
     assert not kernel_feasible(ok, k, 8)  # page not sublane-aligned
     assert not kernel_feasible(ok.astype(jnp.float16), k, 256)
+
+
+def test_prefill_tiled_matches_xla(monkeypatch):
+    """Query-tiled flash prefill (G*T beyond the VMEM row cap) == XLA dense.
+
+    MAX_Q_ROWS is lowered so the tiled path triggers at CPU-interpretable
+    sizes; T=160 is deliberately not a multiple of the 128-row query tile to
+    cover tail padding, and the prefix offsets cover prefix-cache prefill.
+    """
+    from jacobiforcing_tpu.ops.pallas import paged_attention as pa_mod
+
+    monkeypatch.setattr(pa_mod, "MAX_Q_ROWS", 64)
+    r = np.random.RandomState(3)
+    B, T, NH, KH, D = 2, 160, 4, 2, 32
+    pages_per_seq, num_pages = 14, 28
+    q = jnp.asarray(r.randn(B, T, NH, D), jnp.float32)
+    k = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    v = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    bt = np.zeros((B, pages_per_seq), np.int32)
+    for b in range(B):
+        bt[b] = np.arange(b * pages_per_seq, (b + 1) * pages_per_seq)
+    bt = jnp.asarray(bt)
+    start = jnp.asarray([32, 47], jnp.int32)  # prefix-cache offsets
+    cache_lens = start + T
+    positions = start[:, None] + jnp.arange(T)[None, :]
+    scale = 1.0 / np.sqrt(D)
+
+    ref = paged_attention_xla(q, k, v, bt, cache_lens, positions, scale, page_size=PAGE)
+    out = paged_attention_pallas(
+        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE, interpret=True
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_tiled_fp8_scales(monkeypatch):
+    """Tiled prefill with fp8 per-row dequant scales == scaled XLA path."""
+    from jacobiforcing_tpu.ops.pallas import paged_attention as pa_mod
+
+    monkeypatch.setattr(pa_mod, "MAX_Q_ROWS", 64)
+    r = np.random.RandomState(7)
+    B, T, NH, KH, D = 1, 192, 2, 1, 32
+    pages_per_seq, num_pages = 16, 16
+    q = jnp.asarray(r.randn(B, T, NH, D), jnp.float32)
+    k = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    v = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    ks = jnp.asarray(0.5 + r.rand(KH, num_pages * PAGE), jnp.float32)
+    vs = jnp.asarray(0.5 + r.rand(KH, num_pages * PAGE), jnp.float32)
+    bt = jnp.asarray(np.arange(pages_per_seq, dtype=np.int32)[None, :])
+    start = jnp.asarray([16], jnp.int32)
+    cache_lens = start + T
+    positions = start[:, None] + jnp.arange(T)[None, :]
+    scale = 1.0 / np.sqrt(D)
+
+    ref = paged_attention_xla(
+        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE,
+        k_scale_l=ks, v_scale_l=vs,
+    )
+    out = paged_attention_pallas(
+        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE,
+        interpret=True, k_scale_l=ks, v_scale_l=vs,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
