@@ -53,7 +53,7 @@ def main():
 
     B = int(os.environ.get("JF_BENCH_B", "1"))
     L = int(os.environ.get("JF_BENCH_L", "64"))
-    kv_dtype = {"fp8": jnp.float8_e4m3fn}.get(
+    kv_dtype = {"fp8": jnp.float8_e4m3fn, "int8": jnp.int8}.get(
         os.environ.get("JF_BENCH_KV", ""), jnp.bfloat16
     )
     page = 256

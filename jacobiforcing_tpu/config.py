@@ -75,8 +75,11 @@ class Config:
     # ~1.6x faster batched Jacobi forwards (B>=8), standard dynamic-quant
     # accuracy tradeoff.
     quantization: str = ""
-    # "" (model dtype) | "fp8" (float8_e4m3) — KV cache storage dtype; halves
-    # KV HBM so the page pool holds 2x the context (build plan step 4c).
+    # "" (model dtype) | "fp8" (float8_e4m3) | "int8" — KV cache storage
+    # dtype; halves KV HBM so the page pool holds 2x the context (build plan
+    # step 4c: "INT8/FP8 ... and INT8 KV").  Both carry per-row dequant
+    # scales; int8 rounds to 8-bit integers (uniform grid, tighter error for
+    # near-amax rows), fp8 keeps e4m3's wider dynamic range within a row.
     kv_cache_dtype: str = ""
 
     # Resolved at engine init.

@@ -95,6 +95,7 @@ class LLMEngine:
         if kv_dtype is None and config.kv_cache_dtype:
             kv_dtype = {
                 "fp8": jnp.float8_e4m3fn,
+                "int8": jnp.int8,
                 "bf16": jnp.bfloat16,
             }[config.kv_cache_dtype]
         page = config.kvcache_page_size

@@ -27,10 +27,11 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-# float8_e4m3fn max normal value; rows are scaled so amax maps here.
-FP8_MAX = 448.0
+# Per-dtype max representable magnitude; rows are scaled so amax maps here.
+FP8_MAX = 448.0  # float8_e4m3fn max normal value
+INT8_MAX = 127.0
 
-_SCALED_DTYPES = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+_SCALED_DTYPES = (jnp.float8_e4m3fn, jnp.float8_e5m2, jnp.int8)
 
 
 def needs_row_scales(dtype) -> bool:
@@ -96,12 +97,16 @@ def alloc_kv_cache(
 
 
 def quantize_rows(x: jax.Array, cache_dtype) -> Tuple[jax.Array, jax.Array]:
-    """Per-row (last-axis) amax scaling into a narrow dtype.
+    """Per-row (last-axis) amax scaling into a narrow dtype (fp8 or int8).
 
     x: [..., D] -> (q [..., D] cache_dtype, scale [...] fp32) with
     dequant(q) = q.astype(f32) * scale[..., None]."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
+    if jnp.dtype(cache_dtype) == jnp.dtype(jnp.int8):
+        scale = jnp.maximum(amax / INT8_MAX, 1e-12)
+        q = jnp.clip(jnp.rint(xf / scale[..., None]), -INT8_MAX, INT8_MAX)
+        return q.astype(cache_dtype), scale
     scale = jnp.maximum(amax / FP8_MAX, 1e-12)
     return (xf / scale[..., None]).astype(cache_dtype), scale
 

@@ -291,3 +291,60 @@ def test_w8a8_engine_all_strategies():
     )
     for a, m in zip(ar, mr):
         assert a["token_ids"] == m["token_ids"]
+
+
+def test_int8_kv_cache_engine_exact():
+    """int8 KV storage (per-row scales): Jacobi == AR exactly within the
+    int8-KV engine, and MR runs too (mirrors test_fp8_kv_cache)."""
+    import jax.numpy as jnp
+
+    prompts = make_prompts(256)[:2]
+    ar = make_engine(kv_cache_dtype="int8").generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=16)
+    )
+    eng = make_engine(kv_cache_dtype="int8")
+    assert eng.kv.k.dtype == jnp.int8 and eng.kv.scaled
+    ja = eng.generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=16, decode_strategy="jacobi",
+                       jacobi_block_len=8, jacobi_max_blocks=1),
+    )
+    for a, j in zip(ar, ja):
+        assert a["token_ids"] == j["token_ids"]
+    mr = make_engine(kv_cache_dtype="int8").generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=16,
+                       decode_strategy="jacobi_multiblock_rejection_recycling",
+                       jacobi_block_len=8, jacobi_max_blocks=2),
+    )
+    for a, m in zip(ar, mr):
+        assert a["token_ids"] == m["token_ids"]
+
+
+def test_int8_kv_write_roundtrip_bound():
+    """int8 KV rows: dequant error is bounded by half a quantization step
+    (amax/254) per element — a uniform-grid bound, tighter than fp8 for
+    elements near the row amax."""
+    import jax.numpy as jnp
+    from jacobiforcing_tpu.ops.kv_cache import (
+        alloc_kv_cache, gather_pages, gather_scales, write_kv_scaled,
+    )
+
+    r = np.random.RandomState(0)
+    KH, D, page = 2, 16, 16
+    kv = alloc_kv_cache(1, 4, page, KH, D, jnp.int8)
+    assert kv.scaled
+    k_new = jnp.asarray(r.randn(1, 8, KH, D) * 700, jnp.float32)
+    v_new = jnp.asarray(r.randn(1, 8, KH, D) * 700, jnp.float32)
+    slots = jnp.arange(8, dtype=jnp.int32)[None, :]
+    k_c, v_c, ks_c, vs_c = write_kv_scaled(
+        kv.k[0], kv.v[0], kv.k_scale[0], kv.v_scale[0], k_new, v_new, slots
+    )
+    bt = jnp.asarray([[0]], jnp.int32)
+    deq = np.asarray(
+        gather_pages(k_c, bt, page).astype(jnp.float32)
+        * gather_scales(ks_c, bt, page)[..., None]
+    )[0, :8]
+    orig = np.asarray(k_new)[0]  # [8, KH, D]
+    amax = np.abs(orig).max(axis=-1, keepdims=True)
+    assert (np.abs(deq - orig) <= amax / 254.0 * 1.01 + 1e-6).all()
