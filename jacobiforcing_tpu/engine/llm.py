@@ -68,6 +68,10 @@ class LLM:
             prompt_ids = prompts  # already token ids
         return self.engine.generate(prompt_ids, sp, use_tqdm=use_tqdm)
 
+    def warmup(self, **kw):
+        """Precompile serving buckets (see LLMEngine.warmup)."""
+        return self.engine.warmup(**kw)
+
     @property
     def stats(self):
         return self.engine.stats

@@ -815,6 +815,81 @@ class LLMEngine:
                 emitted += len(new)
                 yield new
 
+    def warmup(
+        self,
+        *,
+        strategies: PySeq[str] = ("ar", "jacobi"),
+        block_lens: Optional[PySeq[int]] = None,
+        batch_buckets: Optional[PySeq[int]] = None,
+        prefill_token_buckets: Optional[PySeq[int]] = None,
+    ) -> Dict[str, float]:
+        """Precompile the engine's jit buckets by driving synthetic requests.
+
+        TPU analog of the reference's CUDA-graph capture at init
+        (model_runner.py:1552-1658: one AR graph per batch bucket, one Jacobi
+        graph per (bs, L)): here each (shape bucket, strategy) pair is one
+        cached XLA executable, and without warmup the first real request in a
+        bucket pays its ~20-40s compile.  Requests run through the real
+        scheduler/prefill/decode path, so warmed shapes match serving shapes
+        exactly; generated tokens are discarded and KV pages are freed when
+        the dummy requests complete.
+
+        Opt-in and potentially slow (one XLA compile per bucket; the full
+        default grid is ~25 executables).  Deployments that know their
+        shapes should narrow the lists.  `strategies` may include "ar",
+        "jacobi", "jacobi_nongreedy", and "mr".  Returns {warm_tag: seconds}.
+        """
+        cfg = self.config
+        bbs = list(batch_buckets if batch_buckets is not None else cfg.batch_buckets)
+        tbs = list(
+            prefill_token_buckets
+            if prefill_token_buckets is not None
+            else cfg.prefill_token_buckets
+        )
+        Ls = list(block_lens if block_lens is not None else [cfg.jacobi_block_len])
+        V = self.model_cfg.vocab_size
+        timings: Dict[str, float] = {}
+
+        def sp_for(strategy: str, L: int) -> SamplingParams:
+            if strategy == "ar":
+                return SamplingParams(temperature=0.0, max_tokens=2)
+            if strategy == "jacobi_nongreedy":
+                return SamplingParams(
+                    temperature=0.7, max_tokens=2, decode_strategy="jacobi",
+                    jacobi_block_len=L, jacobi_max_blocks=1,
+                )
+            if strategy == "mr":
+                return SamplingParams(
+                    temperature=0.0, max_tokens=2,
+                    decode_strategy="jacobi_multiblock_rejection_recycling",
+                    jacobi_block_len=L, jacobi_max_blocks=cfg.jacobi_max_blocks,
+                )
+            return SamplingParams(
+                temperature=0.0, max_tokens=2, decode_strategy="jacobi",
+                jacobi_block_len=L, jacobi_max_blocks=1,
+            )
+
+        def run(tag: str, n_prompts: int, prompt_len: int, strategy: str, L: int):
+            t0 = time.perf_counter()
+            prompts = [
+                self.rng.randint(1, V, prompt_len).tolist()
+                for _ in range(n_prompts)
+            ]
+            self.generate(prompts, sp_for(strategy, L))
+            timings[tag] = round(time.perf_counter() - t0, 2)
+
+        for strategy in strategies:
+            for L in Ls if strategy != "ar" else [0]:
+                ltag = f"_L{L}" if L else ""
+                for B in bbs:  # one decode executable per batch bucket
+                    run(f"{strategy}{ltag}_B{B}", B, 32, strategy, L)
+                for T in tbs:  # one prefill executable per token bucket
+                    plen = min(T - L, cfg.max_model_len - L - 8)
+                    if plen <= 0:
+                        continue
+                    run(f"prefill_{strategy}{ltag}_T{T}", 1, plen, strategy, L)
+        return timings
+
     def generate(
         self,
         prompt_token_ids: List[List[int]],

@@ -184,3 +184,33 @@ def test_prefill_near_max_model_len():
     small = make_engine(prefill_token_buckets=(32, 64)).generate([prompt], sp)
     assert len(big[0]["token_ids"]) == 1
     assert big[0]["token_ids"] == small[0]["token_ids"]
+
+
+def test_engine_warmup_precompiles_and_leaves_state_clean():
+    """warmup() drives dummy requests through the real buckets (the CUDA-graph
+    capture analog), frees their pages, and does not perturb generation."""
+    eng = make_engine()
+    free0 = eng.block_manager.num_free_pages
+    t = eng.warmup(
+        strategies=("ar", "jacobi", "mr"),
+        block_lens=(8,),
+        batch_buckets=(1, 2),
+        prefill_token_buckets=(32, 64),
+    )
+    # decode warm per (strategy, B) + prefill warm per (strategy, T)
+    assert set(t) == {
+        "ar_B1", "ar_B2", "prefill_ar_T32", "prefill_ar_T64",
+        "jacobi_L8_B1", "jacobi_L8_B2", "prefill_jacobi_L8_T32",
+        "prefill_jacobi_L8_T64",
+        "mr_L8_B1", "mr_L8_B2", "prefill_mr_L8_T32", "prefill_mr_L8_T64",
+    }
+    assert eng.block_manager.num_free_pages == free0  # dummy pages freed
+    assert eng.scheduler.is_finished
+
+    prompts = make_prompts(256)
+    sp = SamplingParams(temperature=0.0, max_tokens=16, decode_strategy="jacobi",
+                        jacobi_block_len=8, jacobi_max_blocks=1)
+    warm_out = eng.generate(prompts, sp)
+    fresh_out = make_engine().generate(prompts, sp)
+    for a, b in zip(warm_out, fresh_out):
+        assert a["token_ids"] == b["token_ids"]
