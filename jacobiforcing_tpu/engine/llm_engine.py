@@ -691,6 +691,9 @@ class LLMEngine:
             self.stats["generated_tokens"] += int(gen[i])
         self.stats["jacobi_iterations"] += int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum())
         self.stats["chunk_calls"] += 1
+        for name, n in zip(("mr_full", "mr_nocand", "mr_ra_only"),
+                           np.asarray(res["tiers"]).tolist()):
+            self.stats[name] = self.stats.get(name, 0) + int(n)
 
     # ------------------------------------------------------------------
     def _onpolicy_block(

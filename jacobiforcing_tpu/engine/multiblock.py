@@ -75,6 +75,7 @@ class MBState(NamedTuple):
     eos: jax.Array  # [B] bool
     iters: jax.Array  # [B]
     generated: jax.Array  # [B]
+    tiers: jax.Array  # [3] int32: iterations served by full/no-cand/RA-only
 
 
 def _compact(tokens: jax.Array, valid: jax.Array):
@@ -141,6 +142,7 @@ def jacobi_chunk_multiblock(
         pool=pool, pool_len=pool_len, pool_next=pool_next,
         last_next=last_next, eos=eos_in, iters=iters,
         generated=jnp.zeros((B,), jnp.int32),
+        tiers=jnp.zeros((3,), jnp.int32),
     )
 
     # intra-segment visibility is sequence-independent: same-seg causal;
@@ -460,10 +462,12 @@ def jacobi_chunk_multiblock(
             v_new = v_new.at[:, :, :N].set(v_n[:, :, :N]).at[:, :, ps:].set(v_n[:, :, N:])
             return greedy, k_new, v_new
 
+        tier = jnp.int32(0)  # 0=full, 1=no-cand, 2=RA-only
         if S > 1:
             any_cand = jnp.any(seg_active[:, 1 : 1 + C])
             any_pseudo = jnp.any(seg_active[:, 1 + C :]) if K > 1 else jnp.bool_(False)
             if K > 1 and C > 0:
+                tier = jnp.where(any_cand, 0, jnp.where(any_pseudo, 1, 2))
                 greedy, k_new, v_new = lax.cond(
                     any_cand, full_fwd,
                     lambda _: lax.cond(any_pseudo, no_cand_fwd, ra_only_fwd, None),
@@ -471,9 +475,11 @@ def jacobi_chunk_multiblock(
                 )
             else:
                 ra_only = ~jnp.any(seg_active[:, 1:])
+                tier = jnp.where(ra_only, 2, 0)
                 greedy, k_new, v_new = lax.cond(ra_only, ra_only_fwd, full_fwd, None)
         else:
             greedy, k_new, v_new = full_fwd(None)
+        tiers2 = st.tiers.at[tier].add(1)
 
         upd = jax.vmap(update_seq)(
             seg_tokens, seg_vlen, seg_active, greedy, st.blk_draft,
@@ -557,6 +563,7 @@ def jacobi_chunk_multiblock(
             eos=eos2,
             iters=st.iters + alive.astype(jnp.int32),
             generated=jnp.where(alive, generated2, st.generated),
+            tiers=tiers2,
         )
 
     st = lax.while_loop(cond, body, state)
@@ -568,5 +575,5 @@ def jacobi_chunk_multiblock(
         "ra": st.ra, "n_active": st.n_active, "pool": st.pool,
         "pool_len": st.pool_len, "pool_next": st.pool_next,
         "last_next": st.last_next, "eos": st.eos, "iters": st.iters,
-        "generated": st.generated,
+        "generated": st.generated, "tiers": st.tiers,
     }

@@ -137,7 +137,18 @@ def paged_attention_with_block(
     scaled caches stay on the XLA path (dequant on gather).
     """
     impl = os.environ.get("JF_ATTN_IMPL", "auto")
-    kernel_ok = kernel_feasible(q, k_cache_l, page_size) and k_scale_l is None
+    # no row cap here: the spec kernel tiles oversized query sets over
+    # head-group slices (spec_attention.groups_per_tile); only a single
+    # group's T exceeding the VMEM budget forces the dense path
+    from jacobiforcing_tpu.ops.pallas.spec_attention import groups_per_tile
+
+    only_t = os.environ.get("JF_SPEC_ONLY_T")  # debug: kernel only for these T
+    kernel_ok = (
+        kernel_feasible(q, k_cache_l, page_size, max_rows=None)
+        and groups_per_tile(q.shape[2] // k_cache_l.shape[0], q.shape[1]) > 0
+        and k_scale_l is None
+        and (only_t is None or str(q.shape[1]) in only_t.split(","))
+    )
     if impl in ("auto", "pallas") and kernel_ok:
         if impl == "pallas" or jax.default_backend() not in ("cpu",):
             from jacobiforcing_tpu.ops.pallas.spec_attention import (

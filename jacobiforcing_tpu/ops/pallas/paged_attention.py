@@ -107,10 +107,13 @@ def _kernel(
         # the last valid page (their key_abs >= clen, so the mask kills them).
         # Unconditional DMAs keep the scalar-core control flow branch-free and
         # remove the need to zero the buffers (duplicate data is finite).
+        # page_id clamps at 0: batch-bucket padding rows and block-table tails
+        # hold -1, and a negative DMA offset faults the chip (crashes the TPU
+        # worker process — hit by any batch smaller than its bucket).
         out = []
         for j in range(_PP):
             p = jnp.minimum(_PP * t + jnp.int32(j), npages - 1)
-            page_id = bt_ref[b, p]
+            page_id = jnp.maximum(bt_ref[b, p], 0)
             base = pl.multiple_of(page_id * page, page)
             off = j * page
             out.append(pltpu.make_async_copy(

@@ -21,6 +21,7 @@ length, so the only mask is `key_abs < cache_len` (no causal term).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,22 @@ from jax.experimental.pallas import tpu as pltpu
 from jacobiforcing_tpu.ops.pallas.paged_attention import _NBUF, _PP
 
 _NEG_INF = -1e30
+
+# Max query rows resident per program: the [rows, tile] f32 score block plus
+# q/acc dominate scoped VMEM; 2048 rows fits the v5e 16M limit (2304 measured
+# to need 18.28M).  Query sets beyond this are tiled over head-group slices
+# (grid axis 2), each tile re-streaming the committed pages — acceptable
+# because the full-tier MR forward is rare and the page stream is ~MBs.
+_MAX_ROWS = int(os.environ.get("JF_SPEC_MAXROWS", "2048"))
+
+
+def groups_per_tile(G: int, T: int) -> int:
+    """Largest divisor of G whose query slice (gpt*T rows) fits VMEM; 0 if
+    even a single group doesn't fit."""
+    for d in range(G, 0, -1):
+        if G % d == 0 and d * T <= _MAX_ROWS:
+            return d
+    return 0
 
 
 def _kernel(
@@ -67,11 +84,12 @@ def _kernel(
     def tile_dmas(slot, t):
         # Unconditional fetch of _PP pages; indices past the end clamp to the
         # last valid page (key_abs >= clen there, so the mask kills them) —
-        # branch-free scalar control, no buffer zeroing needed.
+        # branch-free scalar control, no buffer zeroing needed.  page_id
+        # clamps at 0: -1 padding entries would fault the DMA engine.
         out = []
         for j in range(_PP):
             p = jnp.minimum(_PP * t + jnp.int32(j), npages - 1)
-            page_id = bt_ref[b, p]
+            page_id = jnp.maximum(bt_ref[b, p], 0)
             base = pl.multiple_of(page_id * page, page)
             off = j * page
             out.append(pltpu.make_async_copy(
@@ -188,6 +206,10 @@ def spec_attention_pallas(
     KH = k_cache_l.shape[0]
     G = NH // KH
     GT = G * T
+    gpt = groups_per_tile(G, T)
+    if gpt == 0:
+        raise ValueError(f"spec kernel: T={T} query rows exceed VMEM cap")
+    rows = gpt * T  # query rows per program
 
     import math as _math
 
@@ -200,23 +222,23 @@ def spec_attention_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, KH),
+        grid=(B, KH, G // gpt),
         in_specs=[
-            pl.BlockSpec((1, 1, GT, D), lambda b, h, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, rows, D), lambda b, h, g, *_: (b, h, g, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, T, D), lambda b, h, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, T, D), lambda b, h, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, T, T), lambda b, h, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, T, D), lambda b, h, g, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, T, D), lambda b, h, g, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, T, T), lambda b, h, g, *_: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, GT, D), lambda b, h, *_: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, rows, D), lambda b, h, g, *_: (b, h, g, 0)),
         scratch_shapes=[
             pltpu.VMEM((_NBUF, _PP * page_size, D), k_cache_l.dtype),
             pltpu.VMEM((_NBUF, _PP * page_size, D), v_cache_l.dtype),
             pltpu.SemaphoreType.DMA((_NBUF, 2 * _PP)),
-            pltpu.VMEM((GT, D), jnp.float32),
-            pltpu.VMEM((GT, 1), jnp.float32),
-            pltpu.VMEM((GT, 1), jnp.float32),
+            pltpu.VMEM((rows, D), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
         ],
     )
 
@@ -224,7 +246,7 @@ def spec_attention_pallas(
         _kernel(
             bt, clen, q_ref.at[0, 0], k_hbm, v_hbm, kb_ref.at[0, 0],
             vb_ref.at[0, 0], m_ref.at[0], o_ref.at[0, 0], *scr,
-            page=page_size, T=T, G=G,
+            page=page_size, T=T, G=gpt,
         )
 
     out = pl.pallas_call(

@@ -54,6 +54,62 @@ def test_kernel_prefill_positions():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_kernel_padded_batch_rows():
+    """Batch-bucket padding: rows beyond the live sequences carry clen=1 and
+    an all -1 block table (engine _pad_block_table).  The kernel must clamp
+    page ids to 0 — on hardware a negative page id becomes a negative DMA
+    offset, which faults the chip and kills the TPU worker (observed on v5e).
+    Live rows must be unaffected by the padding row's presence."""
+    q, k, v, bt = _setup(L=4)
+    bt_np = np.array(bt)
+    bt_np[1, :] = -1  # row 1 is a padding row
+    bt_np[0, 4:] = -1  # live row with a -1 table tail past its pages
+    bt_pad = jnp.asarray(bt_np)
+    cache_lens = jnp.asarray([37, 1], jnp.int32)
+    positions = (cache_lens - 4)[:, None] + jnp.arange(4)[None, :]
+    scale = 1.0 / np.sqrt(q.shape[-1])
+
+    ref = paged_attention_xla(
+        q[:1], k, v, bt_pad[:1], cache_lens[:1], positions[:1], scale, page_size=PAGE
+    )
+    out = paged_attention_pallas(
+        q, k, v, bt_pad, cache_lens, positions, scale, page_size=PAGE, interpret=True
+    )
+    assert bool(jnp.all(jnp.isfinite(out)))
+    np.testing.assert_allclose(np.asarray(out[:1]), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_spec_kernel_padded_batch_rows():
+    """Same -1-padding hazard for the MR spec kernel."""
+    from jacobiforcing_tpu.ops.attention import paged_attention_with_block
+    from jacobiforcing_tpu.ops.pallas.spec_attention import spec_attention_pallas
+
+    r = np.random.RandomState(11)
+    B, KH, G, D, T = 2, 2, 2, 128, 6
+    NH = KH * G
+    q = jnp.asarray(r.randn(B, T, NH, D), jnp.float32)
+    k = jnp.asarray(r.randn(KH, 8 * PAGE, D), jnp.float32)
+    v = jnp.asarray(r.randn(KH, 8 * PAGE, D), jnp.float32)
+    k_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    v_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    bt = np.full((B, 4), -1, np.int32)
+    bt[0] = np.arange(4)
+    cache_lens = jnp.asarray([50, 1], jnp.int32)
+    intra = jnp.asarray(np.tril(np.ones((T, T), bool))[None].repeat(B, 0))
+    scale = 1.0 / np.sqrt(D)
+
+    ref = paged_attention_with_block(
+        q[:1], k, v, jnp.asarray(bt[:1]), cache_lens[:1], k_new[:1], v_new[:1],
+        intra[:1], scale, page_size=PAGE,
+    )
+    out = spec_attention_pallas(
+        q, k, v, jnp.asarray(bt), cache_lens, k_new, v_new, intra, scale,
+        page_size=PAGE, interpret=True,
+    )
+    assert bool(jnp.all(jnp.isfinite(out)))
+    np.testing.assert_allclose(np.asarray(out[:1]), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_spec_kernel_matches_with_block_xla():
     """MR speculative kernel (committed pages + in-flight block under a tree
     mask) == the XLA paged_attention_with_block reference."""
@@ -92,6 +148,52 @@ def test_spec_kernel_matches_with_block_xla():
         q, k, v, bt, cache_lens, k_new, v_new, intra, scale, page_size=PAGE
     )
     out = spec_attention_pallas(
+        q, k, v, bt, cache_lens, k_new, v_new, intra, scale,
+        page_size=PAGE, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_spec_kernel_group_tiled(monkeypatch):
+    """Oversized query sets split over head-group tiles (grid axis 2): the
+    full MR tier (G*T=2304 rows on 1.5B dims) measured 18.28M scoped VMEM vs
+    the 16M v5e limit, so it must tile.  _MAX_ROWS is lowered to force two
+    group tiles at CPU-interpretable sizes."""
+    from jacobiforcing_tpu.ops.attention import paged_attention_with_block
+    from jacobiforcing_tpu.ops.pallas import spec_attention as sa_mod
+
+    monkeypatch.setattr(sa_mod, "_MAX_ROWS", 24)  # G=4, T=12 -> gpt=2, 2 tiles
+    assert sa_mod.groups_per_tile(4, 12) == 2
+    assert sa_mod.groups_per_tile(4, 25) == 0  # single group over cap
+
+    r = np.random.RandomState(5)
+    B, KH, G, D = 2, 2, 4, 128
+    S, N = 3, 4
+    T = S * N
+    NH = KH * G
+    num_pages, pages_per_seq = 16, 6
+    q = jnp.asarray(r.randn(B, T, NH, D), jnp.float32)
+    k = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    v = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    k_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    v_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    bt = np.zeros((B, pages_per_seq), np.int32)
+    for b in range(B):
+        bt[b] = np.arange(b * pages_per_seq, (b + 1) * pages_per_seq)
+    bt = jnp.asarray(bt)
+    cache_lens = jnp.asarray([37, 80], jnp.int32)
+    seg = np.repeat(np.arange(S), N)
+    idx = np.tile(np.arange(N), S)
+    sees = ((seg[:, None] == seg[None, :]) & (idx[None, :] <= idx[:, None])) | (
+        (seg[:, None] == 2) & (seg[None, :] == 0)
+    )
+    intra = jnp.asarray(np.broadcast_to(sees, (B, T, T)).copy())
+    scale = 1.0 / np.sqrt(D)
+
+    ref = paged_attention_with_block(
+        q, k, v, bt, cache_lens, k_new, v_new, intra, scale, page_size=PAGE
+    )
+    out = sa_mod.spec_attention_pallas(
         q, k, v, bt, cache_lens, k_new, v_new, intra, scale,
         page_size=PAGE, interpret=True,
     )
