@@ -71,6 +71,12 @@ class LLMEngine:
 
             mesh = make_mesh(tensor_parallel_size=config.tensor_parallel_size)
         self.mesh = mesh
+        # Register (or clear) the serving mesh so the Pallas attention
+        # dispatch shard_maps the kernel over it (GSPMD cannot partition a
+        # custom call) — ops/attention.py _serving_mesh_for.
+        from jacobiforcing_tpu.parallel.mesh import set_serving_mesh
+
+        set_serving_mesh(mesh)
         if config.quantization in ("int8", "w8a8"):
             from jacobiforcing_tpu.ops.quant import quantize_params
 
@@ -791,6 +797,10 @@ class LLMEngine:
         unlinks SharedMemory, llm_engine.py:59-78 — here just the KV pool)."""
         self.kv = None
         self.params = None
+        from jacobiforcing_tpu.parallel.mesh import get_serving_mesh, set_serving_mesh
+
+        if get_serving_mesh() is self.mesh:
+            set_serving_mesh(None)
 
     def __enter__(self):
         return self

@@ -57,6 +57,58 @@ def kernel_feasible(q, k_cache_l, page_size: int, max_rows: int | None = 2048) -
     )
 
 
+def _interpret() -> bool:
+    """JF_PA_INTERPRET=1 runs the kernels in Pallas interpret mode (CPU mesh
+    tests force the Pallas path with JF_ATTN_IMPL=pallas + this)."""
+    return os.environ.get("JF_PA_INTERPRET", "0") == "1"
+
+
+def _serving_mesh_for(q, k_cache_l):
+    """(mesh, xla_fallback): how the kernel dispatch must handle the
+    registered serving mesh.
+
+    GSPMD cannot partition a Pallas custom call, so under a (data, model)
+    mesh the dispatchers wrap the kernel in jax.shard_map: KV heads shard
+    over "model" (attention is shard-local — the reference divides KV heads
+    per rank, model_runner.py:529), batch shards over "data".  Returns
+    (None, False) when no sharded mesh is registered (bare kernel is fine),
+    (mesh, False) when the shapes divide its axes (shard_map the kernel),
+    and (None, True) when a sharded mesh is registered but the shapes don't
+    divide — the caller MUST use the partitionable XLA path."""
+    from jacobiforcing_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, get_serving_mesh
+
+    mesh = get_serving_mesh()
+    if mesh is None:
+        return None, False
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    if dp == 1 and tp == 1:
+        return None, False
+    B = q.shape[0]
+    KH = k_cache_l.shape[0]
+    if KH % tp != 0 or B % dp != 0:
+        return None, True
+    return mesh, False
+
+
+def _tp_specs(mesh):
+    from jax.sharding import PartitionSpec as P
+
+    from jacobiforcing_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    d = DATA_AXIS if mesh.shape.get(DATA_AXIS, 1) > 1 else None
+    m = MODEL_AXIS if mesh.shape.get(MODEL_AXIS, 1) > 1 else None
+    return {
+        "q": P(d, None, m, None),  # [B, T, NH, D] heads over model
+        "cache": P(m, None, None),  # [KH, slots, D]
+        "scale": P(m, None),  # [KH, slots]
+        "bt": P(d, None),  # [B, P]
+        "len": P(d,),  # [B]
+        "mask": P(d, None, None),  # [B, T, T]
+        "knew": P(d, None, m, None),  # [B, T, KH, D]
+    }
+
+
 def _gather_dequant(cache_l, scale_l, block_tables, page_size, dtype):
     """Gather pages; apply per-row fp8 dequant scales when present."""
     x = gather_pages(cache_l, block_tables, page_size).astype(dtype)  # [B,S,KH,D]
@@ -151,14 +203,31 @@ def paged_attention_with_block(
     )
     if impl in ("auto", "pallas") and kernel_ok:
         if impl == "pallas" or jax.default_backend() not in ("cpu",):
+            import functools
+
             from jacobiforcing_tpu.ops.pallas.spec_attention import (
                 spec_attention_pallas,
             )
 
-            return spec_attention_pallas(
-                q, k_cache_l, v_cache_l, block_tables, cache_lens,
-                k_new, v_new, intra_mask, scale, page_size=page_size,
+            local = functools.partial(
+                spec_attention_pallas, scale=scale, page_size=page_size,
+                interpret=_interpret(),
             )
+            mesh, xla_fallback = _serving_mesh_for(q, k_cache_l)
+            if mesh is not None:
+                sp = _tp_specs(mesh)
+                return jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(sp["q"], sp["cache"], sp["cache"], sp["bt"],
+                              sp["len"], sp["knew"], sp["knew"], sp["mask"]),
+                    out_specs=sp["q"], check_vma=False,
+                )(q, k_cache_l, v_cache_l, block_tables, cache_lens,
+                  k_new, v_new, intra_mask)
+            if not xla_fallback:
+                return local(
+                    q, k_cache_l, v_cache_l, block_tables, cache_lens,
+                    k_new, v_new, intra_mask,
+                )
     B, T, NH, D = q.shape
     KH = k_cache_l.shape[0]
     groups = NH // KH
@@ -230,15 +299,44 @@ def paged_attention(
                 jax.default_backend() not in ("cpu",)
                 and (prefill_scale or q.shape[0] >= 2 or long_ctx)
             ):
+                import functools
+
                 from jacobiforcing_tpu.ops.pallas.paged_attention import (
                     paged_attention_pallas,
                 )
 
-                return paged_attention_pallas(
-                    q, k_cache_l, v_cache_l, block_tables, cache_lens, positions,
-                    scale, page_size=page_size,
-                    k_scale_l=k_scale_l, v_scale_l=v_scale_l,
+                local = functools.partial(
+                    paged_attention_pallas, scale=scale, page_size=page_size,
+                    interpret=_interpret(),
                 )
+                mesh, xla_fallback = _serving_mesh_for(q, k_cache_l)
+                if mesh is not None:
+                    sp = _tp_specs(mesh)
+                    if k_scale_l is not None:
+                        return jax.shard_map(
+                            lambda q_, k_, v_, bt_, cl_, po_, ks_, vs_: local(
+                                q_, k_, v_, bt_, cl_, po_,
+                                k_scale_l=ks_, v_scale_l=vs_,
+                            ),
+                            mesh=mesh,
+                            in_specs=(sp["q"], sp["cache"], sp["cache"],
+                                      sp["bt"], sp["len"], sp["bt"],
+                                      sp["scale"], sp["scale"]),
+                            out_specs=sp["q"], check_vma=False,
+                        )(q, k_cache_l, v_cache_l, block_tables, cache_lens,
+                          positions, k_scale_l, v_scale_l)
+                    return jax.shard_map(
+                        local, mesh=mesh,
+                        in_specs=(sp["q"], sp["cache"], sp["cache"],
+                                  sp["bt"], sp["len"], sp["bt"]),
+                        out_specs=sp["q"], check_vma=False,
+                    )(q, k_cache_l, v_cache_l, block_tables, cache_lens,
+                      positions)
+                if not xla_fallback:
+                    return local(
+                        q, k_cache_l, v_cache_l, block_tables, cache_lens,
+                        positions, k_scale_l=k_scale_l, v_scale_l=v_scale_l,
+                    )
         except NotImplementedError:
             pass
     return paged_attention_xla(

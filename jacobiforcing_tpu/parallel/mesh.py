@@ -19,6 +19,26 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# The serving mesh, registered by LLMEngine (or any caller running sharded
+# decode).  GSPMD cannot partition a Pallas custom call: without this, a
+# model-sharded forward would force XLA to all-gather the KV cache around
+# every attention kernel (or fail to partition).  ops/attention reads the
+# registered mesh at trace time and wraps the kernel in jax.shard_map with
+# head-sharded specs instead — attention is fully local to each model shard
+# (the reference divides KV heads per rank the same way,
+# model_runner.py:529).
+_SERVING_MESH: Optional[Mesh] = None
+
+
+def set_serving_mesh(mesh: Optional[Mesh]) -> None:
+    """Register (or clear, with None) the mesh sharded decode runs under."""
+    global _SERVING_MESH
+    _SERVING_MESH = mesh
+
+
+def get_serving_mesh() -> Optional[Mesh]:
+    return _SERVING_MESH
+
 
 def make_mesh(
     tensor_parallel_size: int = 1,
