@@ -151,7 +151,7 @@ class LLMEngine:
         self.cap_tokens = config.max_model_len + max_margin + 1
         self.stats: Dict[str, float] = {
             "prefill_tokens": 0, "generated_tokens": 0, "jacobi_iterations": 0,
-            "ar_steps": 0, "chunk_calls": 0,
+            "ar_steps": 0, "chunk_calls": 0, "chunk_forwards": 0,
         }
 
     # ------------------------------------------------------------------
@@ -582,6 +582,12 @@ class LLMEngine:
             s.jacobi_iters = int(iters_out[i])
             self.stats["generated_tokens"] += int(gen[i])
         self.stats["jacobi_iterations"] += int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum())
+        # device while-loop trips this chunk = the slowest row's iterations
+        # (rows that finish early ride along inactive) — separates per-forward
+        # time from batch-occupancy effects in profiling
+        self.stats["chunk_forwards"] += int(
+            (iters_out[: len(seqs)] - iters[: len(seqs)]).max(initial=0)
+        )
         self.stats["chunk_calls"] += 1
 
     # ------------------------------------------------------------------

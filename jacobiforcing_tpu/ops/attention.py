@@ -283,22 +283,15 @@ def paged_attention(
     kernel_ok = kernel_feasible(q, k_cache_l, page_size, max_rows=None)
     if impl in ("auto", "pallas") and kernel_ok:
         try:
-            # auto: the kernel wins from B >= 2 (1.7x at B=8, 8k ctx) and at
-            # B == 1 once the context is long (494 vs 465 tok/s at 7.7k on
-            # 1.5B) — the XLA gather path only pipelines better for short
-            # single-stream contexts.  Prefill-scale query sets (G*T beyond
-            # the VMEM row cap) route to the query-tiled flash path, which
-            # beats the dense-score XLA fallback once the KV span is
-            # non-trivial.
-            from jacobiforcing_tpu.ops.pallas import paged_attention as _pa
-
-            B, T, NH, _ = q.shape
-            prefill_scale = (NH // k_cache_l.shape[0]) * T > _pa.MAX_Q_ROWS
-            long_ctx = block_tables.shape[1] * page_size >= 4096
-            if impl == "pallas" or (
-                jax.default_backend() not in ("cpu",)
-                and (prefill_scale or q.shape[0] >= 2 or long_ctx)
-            ):
+            # auto: with the fused-heads variant for small grids
+            # (ops/pallas/paged_attention._kernel_fused), the kernel beats or
+            # ties the XLA gather path at every measured (B, ctx) on v5e —
+            # including B=1 at short contexts, the regime the gather path
+            # previously won (0.107 vs 0.087 ms at B=1/1k, 0.365 vs 0.200 at
+            # B=2/4k) — so on-device it dispatches unconditionally when the
+            # shape is feasible.  Prefill-scale query sets (G*T beyond the
+            # VMEM row cap) route to the query-tiled flash path.
+            if impl == "pallas" or jax.default_backend() not in ("cpu",):
                 import functools
 
                 from jacobiforcing_tpu.ops.pallas.paged_attention import (

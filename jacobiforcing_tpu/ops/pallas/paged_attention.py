@@ -204,6 +204,153 @@ def _kernel(
     o_ref[...] = (acc[...] / jnp.maximum(l_i[...], 1e-30)).astype(o_ref.dtype)
 
 
+def _kernel_fused(
+    # scalar prefetch
+    bt_ref,  # [B, P] int32 page ids
+    clen_ref,  # [B] int32 valid KV length
+    qstart_ref,  # [B] int32 absolute position of query row i=0
+    # inputs
+    q_ref,  # [KH, GL, D] VMEM (all kv heads' q tiles, pre-scaled)
+    k_hbm,  # [KH, num_slots, D] HBM
+    v_hbm,
+    ks_ref,  # [KH, 1, S] f32 VMEM gathered K scales (or None)
+    vs_ref,
+    # outputs
+    o_ref,  # [KH, GL, D] VMEM
+    # scratch
+    kbuf, vbuf,  # [NBUF, TILE, D] VMEM
+    sem,  # DMA sems [NBUF, 2*PP]
+    acc, m_i, l_i,  # [GL, D] f32, [GL, 1] f32, [GL, 1] f32 (current head only)
+    *,
+    page: int,
+    L: int,
+    scaled: bool,
+):
+    """Fused-heads decode kernel: one program per sequence, all KH kv heads.
+
+    The (B, KH) grid pays a pipeline fill + program prologue per (b, h); at
+    small B x short context (a few KV tiles per head) that fixed cost
+    dominates.  Here the loop runs over the flattened (head, tile) stream, so
+    the DMA pipeline crosses head boundaries without draining — heads are
+    processed sequentially with single-head accumulators reset at each head's
+    first tile and written out at its last.  Same g-major row layout as
+    `_kernel` (row r = g*L + i), so the dispatcher glue is shared.
+    """
+    b = pl.program_id(0)
+    clen = clen_ref[b]
+    qstart = qstart_ref[b]
+    kv_limit = jnp.minimum(clen, qstart + jnp.int32(L))
+    npages = lax.div(kv_limit + jnp.int32(page - 1), jnp.int32(page))
+    KH, GL, D = q_ref.shape
+
+    tile = _PP * page
+    ntiles = lax.div(npages + jnp.int32(_PP - 1), jnp.int32(_PP))
+    total = jnp.int32(KH) * ntiles
+
+    def tile_dmas(slot, t):
+        # flattened stream: t -> (head, tile-in-head); same clamped
+        # branch-free fetch as _kernel (page ids past the end duplicate the
+        # last valid page; -1 padding rows clamp to 0)
+        h = lax.div(t, ntiles)
+        tt = t - h * ntiles
+        out = []
+        for j in range(_PP):
+            p = jnp.minimum(_PP * tt + jnp.int32(j), npages - 1)
+            page_id = jnp.maximum(bt_ref[b, p], 0)
+            base = pl.multiple_of(page_id * page, page)
+            off = j * page
+            out.append(pltpu.make_async_copy(
+                k_hbm.at[h, pl.ds(base, page)],
+                kbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * j],
+            ))
+            out.append(pltpu.make_async_copy(
+                v_hbm.at[h, pl.ds(base, page)],
+                vbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * j + 1],
+            ))
+        return out
+
+    for t0 in range(_NBUF):
+        @pl.when(t0 < total)
+        def _():
+            for dma in tile_dmas(jnp.int32(t0), jnp.int32(t0)):
+                dma.start()
+
+    row = lax.broadcasted_iota(jnp.int32, (GL, 1), 0)
+    qpos = qstart + lax.rem(row, jnp.int32(L))
+
+    def body(t, _):
+        h = lax.div(t, ntiles)
+        tt = t - h * ntiles
+        slot = lax.rem(t, jnp.int32(_NBUF))
+        for dma in tile_dmas(slot, t):
+            dma.wait()
+
+        @pl.when(tt == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+            m_i[...] = jnp.full_like(m_i, _NEG_INF)
+            l_i[...] = jnp.zeros_like(l_i)
+
+        q = q_ref[pl.ds(h, 1)].reshape(GL, D)
+        k = kbuf[slot].astype(q.dtype)
+        v = vbuf[slot].astype(q.dtype)
+        s = lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [GL, TILE] f32, exp2 domain
+        if scaled:
+            s = s * ks_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)].reshape(1, tile)
+
+        def update(sv):
+            m_new = jnp.maximum(m_i[...], jnp.max(sv, axis=1, keepdims=True))
+            alpha = jnp.exp2(m_i[...] - m_new)
+            p_ij = jnp.exp2(sv - m_new)
+            l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
+            if scaled:
+                pv = (
+                    p_ij
+                    * vs_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)].reshape(1, tile)
+                ).astype(q.dtype)
+            else:
+                pv = p_ij.astype(q.dtype)
+            acc[...] = acc[...] * alpha + lax.dot_general(
+                pv, v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_i[...] = m_new
+
+        is_full = ((tt + 1) * tile <= qstart + 1) & ((tt + 1) * tile <= clen)
+
+        @pl.when(is_full)
+        def _():
+            update(s)
+
+        @pl.when(~is_full)
+        def _():
+            key_abs = tt * tile + lax.broadcasted_iota(jnp.int32, (GL, tile), 1)
+            mask = (key_abs <= qpos) & (key_abs < clen)
+            update(jnp.where(mask, s, _NEG_INF))
+
+        @pl.when(t + _NBUF < total)
+        def _():
+            for dma in tile_dmas(lax.rem(t + _NBUF, jnp.int32(_NBUF)), t + _NBUF):
+                dma.start()
+
+        @pl.when(tt == ntiles - 1)
+        def _():
+            o_ref[pl.ds(h, 1)] = (
+                (acc[...] / jnp.maximum(l_i[...], 1e-30))
+                .astype(o_ref.dtype)
+                .reshape(1, GL, D)
+            )
+
+        return 0
+
+    lax.fori_loop(jnp.int32(0), total, body, 0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "page_size", "interpret")
 )
@@ -244,8 +391,21 @@ def paged_attention_pallas(
     qr = (qr.astype(jnp.float32) * (scale * math.log2(math.e))).astype(q.dtype)
     q_start = positions[:, 0].astype(jnp.int32)
 
+    # Fused-heads path for SMALL grids: all KH heads in one program per
+    # sequence (measured on v5e: B=1 ctx=1k drops 0.080 -> ~0.06 ms because
+    # the per-program pipeline fill dominates 4 tiny programs; at B >= 4 the
+    # (B, KH) grid already amortizes it and per-head programs win).  Needs
+    # all heads' q rows resident in VMEM.
+    fused = (
+        B * KH <= 8
+        and KH * GL <= MAX_Q_ROWS
+        and _os.environ.get("JF_PA_FUSEH", "1") != "0"
+    )
+
     in_specs = [
-        pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, KH, GL, D), lambda b, *_: (b, 0, 0, 0))
+        if fused
+        else pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -266,16 +426,26 @@ def paged_attention_pallas(
             g = jnp.pad(g, ((0, 0), (0, 0), (0, S_pad - g.shape[-1])))
             return g[:, :, None, :]  # [B, KH, 1, S_pad]
         args += [gather_plane(k_scale_l), gather_plane(v_scale_l)]
-        in_specs += [
-            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, *_: (b, h, 0, 0)),
-        ]
+        if fused:
+            in_specs += [
+                pl.BlockSpec((1, KH, 1, S_pad), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, KH, 1, S_pad), lambda b, *_: (b, 0, 0, 0)),
+            ]
+        else:
+            in_specs += [
+                pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, *_: (b, h, 0, 0)),
+            ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, KH),
+        grid=(B,) if fused else (B, KH),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0)),
+        out_specs=(
+            pl.BlockSpec((1, KH, GL, D), lambda b, *_: (b, 0, 0, 0))
+            if fused
+            else pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0))
+        ),
         scratch_shapes=[
             pltpu.VMEM((_NBUF, _PP * page_size, D), k_cache_l.dtype),
             pltpu.VMEM((_NBUF, _PP * page_size, D), v_cache_l.dtype),
@@ -290,16 +460,26 @@ def paged_attention_pallas(
         if scaled:
             q_ref, k_hbm, v_hbm, ks_ref, vs_ref, o_ref = rest[:6]
             scratch = rest[6:]
-            ks2, vs2 = ks_ref.at[0, 0], vs_ref.at[0, 0]  # [1, S]
         else:
             q_ref, k_hbm, v_hbm, o_ref = rest[:4]
             scratch = rest[4:]
-            ks2 = vs2 = None
-        _kernel(
-            bt, clen, qs, q_ref.at[0, 0], k_hbm, v_hbm, ks2, vs2,
-            o_ref.at[0, 0], *scratch,
-            page=page_size, L=L, scaled=scaled,
-        )
+            ks_ref = vs_ref = None
+        if fused:
+            _kernel_fused(
+                bt, clen, qs, q_ref.at[0], k_hbm, v_hbm,
+                ks_ref.at[0] if scaled else None,
+                vs_ref.at[0] if scaled else None,
+                o_ref.at[0], *scratch,
+                page=page_size, L=L, scaled=scaled,
+            )
+        else:
+            _kernel(
+                bt, clen, qs, q_ref.at[0, 0], k_hbm, v_hbm,
+                ks_ref.at[0, 0] if scaled else None,
+                vs_ref.at[0, 0] if scaled else None,
+                o_ref.at[0, 0], *scratch,
+                page=page_size, L=L, scaled=scaled,
+            )
 
     out = pl.pallas_call(
         _squeeze_kernel,

@@ -1,0 +1,111 @@
+"""Engine-level batched serving throughput on the real chip.
+
+The reference engine's headline figure — "800-1000 tok/s on a single GPU"
+(reference README.md:192) — is an ENGINE-level number: it includes the
+scheduler, prefill, host<->device chunk boundaries, and per-request
+bookkeeping, not just the raw decode loop.  bench.py's batch8 companion times
+the raw runner loop; this script times `LLMEngine.generate` end to end on 7B
+W8A8 with B concurrent requests, so the comparison to the reference figure is
+like for like.
+
+Random weights accept ~1 token/iteration, so raw committed tokens/s would
+conflate framework speed with (absent) model training.  We report:
+  * iters/s through the whole engine (scheduler + prefill included), and
+  * tok/s at the reference's measured TPF=4.0 (README.md:261) — the same
+    convention as bench.py,
+  * plus the raw committed tok/s for reference (= iters/s with random weights).
+
+    python scripts/bench_engine.py [B] [prompt_len] [max_tokens]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+PROMPT_LEN = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+MAX_TOKENS = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from jacobiforcing_tpu.config import Config, SamplingParams
+from jacobiforcing_tpu.engine.llm_engine import LLMEngine
+from jacobiforcing_tpu.models.qwen import ModelConfig
+from jacobiforcing_tpu.ops.quant import init_quantized_params
+
+mc = dataclasses.replace(ModelConfig(), act_quant=True)  # 7B dims, int8 MXU
+params = init_quantized_params(mc, jax.random.PRNGKey(0))
+
+# R > B requests so the scheduler BACKFILLS finished slots (continuous
+# batching): with exactly B requests the tail of the run decodes a draining,
+# underfilled batch and the number misrepresents steady-state serving.
+R = int(os.environ.get("JF_BENCH_REQUESTS", str(4 * B)))
+
+cfg = Config(
+    max_model_len=int(os.environ.get("JF_BENCH_MAXLEN", "8192")),
+    max_num_seqs=B,
+    jacobi_chunk_tokens=int(os.environ.get("JF_BENCH_CHUNK", "128")),
+    batch_buckets=(B,),
+    prefill_token_buckets=(PROMPT_LEN + 64,),
+    eos=-1,
+)
+pages_per_seq = (PROMPT_LEN + MAX_TOKENS + 3 * 64) // cfg.kvcache_page_size + 1
+eng = LLMEngine(
+    cfg, model_cfg=mc, params=params,
+    num_kv_pages=(B + 2) * pages_per_seq + 8,
+)
+
+rng = np.random.RandomState(0)
+prompts = [
+    rng.randint(1, mc.vocab_size, PROMPT_LEN - (i % 5)).tolist() for i in range(R)
+]
+sp = SamplingParams(
+    temperature=0.0, max_tokens=MAX_TOKENS, decode_strategy="jacobi",
+    jacobi_block_len=64, jacobi_max_blocks=1, ignore_eos=True,
+    jacobi_max_iterations=1 << 20,
+)
+
+# Warmup run compiles the prefill + decode buckets.
+eng.generate(prompts[:B], sp, use_tqdm=False)
+
+if os.environ.get("PROFILE", "0") == "1":
+    from jacobiforcing_tpu.utils import profiling
+
+    profiling.reset_profiler()
+
+t0 = time.perf_counter()
+it0 = eng.stats["jacobi_iterations"]
+fw0 = eng.stats["chunk_forwards"]
+outs = eng.generate(prompts, sp, use_tqdm=False)
+dt = time.perf_counter() - t0
+iters = eng.stats["jacobi_iterations"] - it0
+forwards = eng.stats["chunk_forwards"] - fw0
+tokens = sum(len(o["token_ids"]) for o in outs)
+
+print(json.dumps({
+    "metric": f"engine_tps_at_tpf4_7b_w8a8_B{B}",
+    "value": round(4.0 * iters / dt, 2),
+    "unit": "tok/s",
+    "iters_per_s": round(iters / dt, 2),
+    "forwards": forwards,
+    "ms_per_forward": round(1e3 * dt / max(forwards, 1), 2),
+    "batch_occupancy": round(iters / max(forwards * B, 1), 3),
+    "committed_tok_per_s": round(tokens / dt, 2),
+    "wall_s": round(dt, 3),
+    "prompt_len": PROMPT_LEN,
+    "max_tokens": MAX_TOKENS,
+    "requests": R,
+}))
+
+if os.environ.get("PROFILE", "0") == "1":
+    from jacobiforcing_tpu.utils.profiling import get_profiler
+
+    print(get_profiler().report())
