@@ -49,17 +49,86 @@ _NEG_INF = -1e30
 import os as _os
 
 # Tile/pipeline geometry, sweepable via env (scripts/probe_attn_kernel.py).
-# Measured on v5e (7B geometry): PP=2/NBUF=3 is best or tied at every probed
-# (B, ctx) — wider 4-page tiles win ~7% at 8k ctx but lose ~40% at 2k because
-# the masked tail tile doubles in width.
-_PP = int(_os.environ.get("JF_PA_PP", "2"))  # pages per loop tile
+# Pages per loop tile is chosen STATICALLY per compiled shape (_pick_pp): B
+# and the block-table width P are static under jit, and the flat-softmax
+# probe sweep (scripts/probe_attn_fixed_cost.py) shows 4-page tiles win
+# 6-10% once the KV stream is long enough to amortize the wider masked tail
+# tile (B>=4 from 1k ctx; B=1 only at 8k), while 2-page tiles win up to 55%
+# at short contexts.  JF_PA_PP forces a fixed value.
+_PP_ENV = _os.environ.get("JF_PA_PP")
 _NBUF = int(_os.environ.get("JF_PA_NBUF", "3"))  # DMA pipeline depth
+# Back-compat default for probes that read module state directly.
+_PP = int(_PP_ENV) if _PP_ENV else 2
+
+
+def _pick_pp(B: int, P: int, page_size: int) -> int:
+    if _PP_ENV:
+        return int(_PP_ENV)
+    slots = P * page_size
+    return 4 if (slots >= 8192 or (B >= 4 and slots >= 1024)) else 2
 
 # Max G*T query rows a single program keeps resident in VMEM (measured on
 # v5e: 2048 rows of D=128 fit; 14336 does not).  Larger query sets take the
 # query-tiled prefill path (_prefill_tiled).  Module-level so tests can lower
 # it to exercise the tiled path at CPU-interpretable sizes.
 MAX_Q_ROWS = int(_os.environ.get("JF_PA_MAXROWS", "2048"))
+
+# Softmax strategy (probe_attn_fixed_cost.py: the tile loop is VPU-bound at
+# 1.39 us/tile vs a 0.77 us/tile DMA+dot skeleton, and the gap is the online-
+# softmax bookkeeping — two cross-lane reductions over [GL, tile] f32 plus
+# the alpha rescale).
+#   "flat"   (default): scores ride the exp2 domain already (scale*log2e is
+#            folded into q), so exp2 needs no running max for safety as long
+#            as scores stay below the f32 overflow point 2^128: p =
+#            exp2(min(s, 100)) is exact-softmax up to rounding whenever every
+#            score < 100 in the exp2 domain (= 69 nats — attention logits of
+#            real checkpoints sit one order below).  The denominator
+#            accumulates as an elementwise [GL, tile] f32 partial sum (one
+#            VPU add per tile) and cross-lane-reduces ONCE per program.
+#            Per-tile work drops to dot / min+exp2 / cast / add / dot.
+#   "online" safe rescaling online softmax (flash-attention update); keep for
+#            A/B and for hypothetical >69-nat logit regimes.
+_SOFTMAX = _os.environ.get("JF_PA_SOFTMAX", "flat")
+_FLAT_CAP = 100.0  # exp2-domain score clamp: 2^100 * 512 keys << f32 max
+
+
+def _flat_ok(rows: int, tile: int, D: int, kv_itemsize: int, q_itemsize: int) -> bool:
+    """Whether the flat-softmax p_sum scratch fits scoped VMEM (16M on v5e).
+
+    Rough per-program estimate: DMA buffers + acc + p_sum + the [rows, tile]
+    f32 score temporary + q/out blocks, with headroom for Mosaic's own
+    temporaries.  Oversized cases (f32 caches at prefill scale, 4-page tiles
+    at 2048 query rows) fall back to the online-softmax kernel.
+    """
+    scoped = (
+        2 * _NBUF * tile * D * kv_itemsize  # kbuf + vbuf
+        + rows * D * 4                      # acc
+        + rows * tile * 4 * 2               # p_sum + score temporary
+        + 2 * rows * D * q_itemsize         # q + out blocks
+    )
+    return scoped <= 11 * 2**20
+
+
+def _scratch_shapes(GL: int, D: int, tile: int, kv_dtype, flat: bool, pp: int = None):
+    """VMEM scratch for one program: accumulator + softmax-denominator state.
+
+    Shared with scripts/probe_attn_fixed_cost.py so probes mirror the real
+    kernel's scratch layout.
+    """
+    if pp is None:
+        pp = _PP
+    base = [
+        pltpu.VMEM((_NBUF, tile, D), kv_dtype),
+        pltpu.VMEM((_NBUF, tile, D), kv_dtype),
+        pltpu.SemaphoreType.DMA((_NBUF, 2 * pp)),
+        pltpu.VMEM((GL, D), jnp.float32),  # acc
+    ]
+    if flat:
+        return base + [pltpu.VMEM((GL, tile), jnp.float32)]  # p_sum
+    return base + [
+        pltpu.VMEM((GL, 1), jnp.float32),  # m_i
+        pltpu.VMEM((GL, 1), jnp.float32),  # l_i
+    ]
 
 
 def _kernel(
@@ -78,13 +147,23 @@ def _kernel(
     # scratch
     kbuf, vbuf,  # [NBUF, TILE, D] VMEM
     sem,  # DMA sems [NBUF, 2*PP]
-    acc, m_i, l_i,  # [GL, D] f32, [GL, 1] f32, [GL, 1] f32
-    *,
+    acc,  # [GL, D] f32
+    *softmax_scratch,  # flat: p_sum [GL, TILE] f32; online: m_i, l_i [GL, 1]
     page: int,
     L: int,
     scaled: bool,
     tiled: bool = False,
+    flat: bool = None,
+    pp: int = None,
 ):
+    if pp is None:
+        pp = _PP
+    if flat is None:
+        flat = _SOFTMAX == "flat"
+    if flat:
+        (p_sum,) = softmax_scratch
+    else:
+        m_i, l_i = softmax_scratch
     b = pl.program_id(0)
     h = pl.program_id(1)
     clen = clen_ref[b]
@@ -99,11 +178,11 @@ def _kernel(
     npages = lax.div(kv_limit + jnp.int32(page - 1), jnp.int32(page))
     GL, D = q_ref.shape
 
-    tile = _PP * page
-    ntiles = lax.div(npages + jnp.int32(_PP - 1), jnp.int32(_PP))
+    tile = pp * page
+    ntiles = lax.div(npages + jnp.int32(pp - 1), jnp.int32(pp))
 
     def tile_dmas(slot, t):
-        # Unconditional fetch of _PP pages; page indices past the end clamp to
+        # Unconditional fetch of pp pages; page indices past the end clamp to
         # the last valid page (their key_abs >= clen, so the mask kills them).
         # Unconditional DMAs keep the scalar-core control flow branch-free and
         # remove the need to zero the buffers (duplicate data is finite).
@@ -111,8 +190,8 @@ def _kernel(
         # hold -1, and a negative DMA offset faults the chip (crashes the TPU
         # worker process — hit by any batch smaller than its bucket).
         out = []
-        for j in range(_PP):
-            p = jnp.minimum(_PP * t + jnp.int32(j), npages - 1)
+        for j in range(pp):
+            p = jnp.minimum(pp * t + jnp.int32(j), npages - 1)
             page_id = jnp.maximum(bt_ref[b, p], 0)
             base = pl.multiple_of(page_id * page, page)
             off = j * page
@@ -134,8 +213,11 @@ def _kernel(
                 dma.start()
 
     acc[...] = jnp.zeros_like(acc)
-    m_i[...] = jnp.full_like(m_i, _NEG_INF)
-    l_i[...] = jnp.zeros_like(l_i)
+    if flat:
+        p_sum[...] = jnp.zeros_like(p_sum)
+    else:
+        m_i[...] = jnp.full_like(m_i, _NEG_INF)
+        l_i[...] = jnp.zeros_like(l_i)
 
     q = q_ref[...]  # [GL, D] native dtype: MXU runs bf16 at full rate
     row = lax.broadcasted_iota(jnp.int32, (GL, 1), 0)
@@ -158,23 +240,38 @@ def _kernel(
             # row's scale ((q . k_q) * ks == q . (k_q * ks))
             s = s * ks_ref[:, pl.ds(t * tile, tile)]  # [1, TILE] broadcast
 
-        def update(sv):
-            m_new = jnp.maximum(m_i[...], jnp.max(sv, axis=1, keepdims=True))
-            alpha = jnp.exp2(m_i[...] - m_new)
-            p_ij = jnp.exp2(sv - m_new)
-            l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
-            if scaled:
-                # dequant V folded into the probabilities:
-                # p @ (v_q * vs) == (p * vs) @ v_q  (l_i uses the true p)
-                pv = (p_ij * vs_ref[:, pl.ds(t * tile, tile)]).astype(q.dtype)
-            else:
-                pv = p_ij.astype(q.dtype)
-            acc[...] = acc[...] * alpha + lax.dot_general(
-                pv, v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m_i[...] = m_new
+        if flat:
+            def update(sv):
+                # masked scores are -1e30 -> exp2 underflows to exactly 0
+                p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+                p_sum[...] += p_ij
+                if scaled:
+                    # dequant V folded into the probabilities:
+                    # p @ (v_q * vs) == (p * vs) @ v_q  (p_sum uses true p)
+                    pv = (p_ij * vs_ref[:, pl.ds(t * tile, tile)]).astype(q.dtype)
+                else:
+                    pv = p_ij.astype(q.dtype)
+                acc[...] += lax.dot_general(
+                    pv, v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            def update(sv):
+                m_new = jnp.maximum(m_i[...], jnp.max(sv, axis=1, keepdims=True))
+                alpha = jnp.exp2(m_i[...] - m_new)
+                p_ij = jnp.exp2(sv - m_new)
+                l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
+                if scaled:
+                    pv = (p_ij * vs_ref[:, pl.ds(t * tile, tile)]).astype(q.dtype)
+                else:
+                    pv = p_ij.astype(q.dtype)
+                acc[...] = acc[...] * alpha + lax.dot_general(
+                    pv, v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_i[...] = m_new
 
         # A tile whose last key (t+1)*tile-1 is visible to every query row
         # (<= min qpos = qstart) and within the live KV needs no mask at all —
@@ -201,7 +298,12 @@ def _kernel(
         return 0
 
     lax.fori_loop(jnp.int32(0), ntiles, body, 0)
-    o_ref[...] = (acc[...] / jnp.maximum(l_i[...], 1e-30)).astype(o_ref.dtype)
+    if flat:
+        # ONE cross-lane reduction per program (vs one per tile online)
+        l = jnp.sum(p_sum[...], axis=1, keepdims=True)
+    else:
+        l = l_i[...]
+    o_ref[...] = (acc[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _kernel_fused(
@@ -220,11 +322,13 @@ def _kernel_fused(
     # scratch
     kbuf, vbuf,  # [NBUF, TILE, D] VMEM
     sem,  # DMA sems [NBUF, 2*PP]
-    acc, m_i, l_i,  # [GL, D] f32, [GL, 1] f32, [GL, 1] f32 (current head only)
-    *,
+    acc,  # [GL, D] f32 (current head only)
+    *softmax_scratch,  # flat: p_sum [GL, TILE]; online: m_i, l_i [GL, 1]
     page: int,
     L: int,
     scaled: bool,
+    flat: bool = None,
+    pp: int = None,
 ):
     """Fused-heads decode kernel: one program per sequence, all KH kv heads.
 
@@ -236,6 +340,14 @@ def _kernel_fused(
     first tile and written out at its last.  Same g-major row layout as
     `_kernel` (row r = g*L + i), so the dispatcher glue is shared.
     """
+    if pp is None:
+        pp = _PP
+    if flat is None:
+        flat = _SOFTMAX == "flat"
+    if flat:
+        (p_sum,) = softmax_scratch
+    else:
+        m_i, l_i = softmax_scratch
     b = pl.program_id(0)
     clen = clen_ref[b]
     qstart = qstart_ref[b]
@@ -243,8 +355,8 @@ def _kernel_fused(
     npages = lax.div(kv_limit + jnp.int32(page - 1), jnp.int32(page))
     KH, GL, D = q_ref.shape
 
-    tile = _PP * page
-    ntiles = lax.div(npages + jnp.int32(_PP - 1), jnp.int32(_PP))
+    tile = pp * page
+    ntiles = lax.div(npages + jnp.int32(pp - 1), jnp.int32(pp))
     total = jnp.int32(KH) * ntiles
 
     def tile_dmas(slot, t):
@@ -254,8 +366,8 @@ def _kernel_fused(
         h = lax.div(t, ntiles)
         tt = t - h * ntiles
         out = []
-        for j in range(_PP):
-            p = jnp.minimum(_PP * tt + jnp.int32(j), npages - 1)
+        for j in range(pp):
+            p = jnp.minimum(pp * tt + jnp.int32(j), npages - 1)
             page_id = jnp.maximum(bt_ref[b, p], 0)
             base = pl.multiple_of(page_id * page, page)
             off = j * page
@@ -288,8 +400,11 @@ def _kernel_fused(
         @pl.when(tt == 0)
         def _():
             acc[...] = jnp.zeros_like(acc)
-            m_i[...] = jnp.full_like(m_i, _NEG_INF)
-            l_i[...] = jnp.zeros_like(l_i)
+            if flat:
+                p_sum[...] = jnp.zeros_like(p_sum)
+            else:
+                m_i[...] = jnp.full_like(m_i, _NEG_INF)
+                l_i[...] = jnp.zeros_like(l_i)
 
         q = q_ref[pl.ds(h, 1)].reshape(GL, D)
         k = kbuf[slot].astype(q.dtype)
@@ -302,24 +417,43 @@ def _kernel_fused(
         if scaled:
             s = s * ks_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)].reshape(1, tile)
 
-        def update(sv):
-            m_new = jnp.maximum(m_i[...], jnp.max(sv, axis=1, keepdims=True))
-            alpha = jnp.exp2(m_i[...] - m_new)
-            p_ij = jnp.exp2(sv - m_new)
-            l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
-            if scaled:
-                pv = (
-                    p_ij
-                    * vs_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)].reshape(1, tile)
-                ).astype(q.dtype)
-            else:
-                pv = p_ij.astype(q.dtype)
-            acc[...] = acc[...] * alpha + lax.dot_general(
-                pv, v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m_i[...] = m_new
+        if flat:
+            def update(sv):
+                p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+                p_sum[...] += p_ij
+                if scaled:
+                    pv = (
+                        p_ij
+                        * vs_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)]
+                        .reshape(1, tile)
+                    ).astype(q.dtype)
+                else:
+                    pv = p_ij.astype(q.dtype)
+                acc[...] += lax.dot_general(
+                    pv, v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            def update(sv):
+                m_new = jnp.maximum(m_i[...], jnp.max(sv, axis=1, keepdims=True))
+                alpha = jnp.exp2(m_i[...] - m_new)
+                p_ij = jnp.exp2(sv - m_new)
+                l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
+                if scaled:
+                    pv = (
+                        p_ij
+                        * vs_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)]
+                        .reshape(1, tile)
+                    ).astype(q.dtype)
+                else:
+                    pv = p_ij.astype(q.dtype)
+                acc[...] = acc[...] * alpha + lax.dot_general(
+                    pv, v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_i[...] = m_new
 
         is_full = ((tt + 1) * tile <= qstart + 1) & ((tt + 1) * tile <= clen)
 
@@ -340,8 +474,12 @@ def _kernel_fused(
 
         @pl.when(tt == ntiles - 1)
         def _():
+            if flat:
+                l = jnp.sum(p_sum[...], axis=1, keepdims=True)
+            else:
+                l = l_i[...]
             o_ref[pl.ds(h, 1)] = (
-                (acc[...] / jnp.maximum(l_i[...], 1e-30))
+                (acc[...] / jnp.maximum(l, 1e-30))
                 .astype(o_ref.dtype)
                 .reshape(1, GL, D)
             )
@@ -390,6 +528,18 @@ def paged_attention_pallas(
     qr = q.reshape(B, L, KH, G, D).transpose(0, 2, 3, 1, 4).reshape(B, KH, GL, D)
     qr = (qr.astype(jnp.float32) * (scale * math.log2(math.e))).astype(q.dtype)
     q_start = positions[:, 0].astype(jnp.int32)
+    pp = _pick_pp(B, block_tables.shape[1], page_size)
+    # Scaled (fp8/int8) KV keeps the exact online softmax: the dequant fold
+    # makes pre-scale scores data-dependent in magnitude, and the flat cap
+    # corrupts softmax whenever any exp2-domain score exceeds it (the fp8
+    # stress test drives +-48-magnitude values straight through that).
+    flat = (
+        _SOFTMAX == "flat"
+        and not scaled
+        and _flat_ok(
+            GL, pp * page_size, D, k_cache_l.dtype.itemsize, q.dtype.itemsize
+        )
+    )
 
     # Fused-heads path for SMALL grids: all KH heads in one program per
     # sequence (measured on v5e: B=1 ctx=1k drops 0.080 -> ~0.06 ms because
@@ -419,7 +569,7 @@ def paged_attention_pallas(
         # last page, which the causal/len mask already zeroes); the dummy
         # axis makes the block's trailing dims (1, S) equal the array's, which
         # the Mosaic block-shape rules require
-        S_pad = ((P + _PP - 1) // _PP) * _PP * page_size
+        S_pad = ((P + pp - 1) // pp) * pp * page_size
         def gather_plane(scale_l):
             g = gather_scales(scale_l, block_tables, page_size)  # [B, S, KH]
             g = g.transpose(0, 2, 1)  # [B, KH, S]
@@ -446,14 +596,9 @@ def paged_attention_pallas(
             if fused
             else pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0))
         ),
-        scratch_shapes=[
-            pltpu.VMEM((_NBUF, _PP * page_size, D), k_cache_l.dtype),
-            pltpu.VMEM((_NBUF, _PP * page_size, D), v_cache_l.dtype),
-            pltpu.SemaphoreType.DMA((_NBUF, 2 * _PP)),
-            pltpu.VMEM((GL, D), jnp.float32),
-            pltpu.VMEM((GL, 1), jnp.float32),
-            pltpu.VMEM((GL, 1), jnp.float32),
-        ],
+        scratch_shapes=_scratch_shapes(
+            GL, D, pp * page_size, k_cache_l.dtype, flat, pp=pp
+        ),
     )
 
     def _squeeze_kernel(bt, clen, qs, *rest):
@@ -470,7 +615,7 @@ def paged_attention_pallas(
                 ks_ref.at[0] if scaled else None,
                 vs_ref.at[0] if scaled else None,
                 o_ref.at[0], *scratch,
-                page=page_size, L=L, scaled=scaled,
+                page=page_size, L=L, scaled=scaled, pp=pp, flat=flat,
             )
         else:
             _kernel(
@@ -478,7 +623,7 @@ def paged_attention_pallas(
                 ks_ref.at[0, 0] if scaled else None,
                 vs_ref.at[0, 0] if scaled else None,
                 o_ref.at[0, 0], *scratch,
-                page=page_size, L=L, scaled=scaled,
+                page=page_size, L=L, scaled=scaled, pp=pp, flat=flat,
             )
 
     out = pl.pallas_call(
@@ -536,6 +681,17 @@ def _prefill_tiled(
     qr = qr.reshape(B, KH, nqt, GQT, D)
     qr = (qr.astype(jnp.float32) * (scale * math.log2(math.e))).astype(q.dtype)
     q_start = positions[:, 0].astype(jnp.int32)
+    # 2-page tiles: prefill-scale query rows make the [GQT, tile] f32 score
+    # and p_sum blocks the VMEM bottleneck, and the long per-program KV
+    # stream is MXU-bound anyway
+    pp = 2
+    flat = (
+        _SOFTMAX == "flat"
+        and not scaled  # see the decode dispatcher: scaled KV stays online
+        and _flat_ok(
+            GQT, pp * page_size, D, k_cache_l.dtype.itemsize, q.dtype.itemsize
+        )
+    )
 
     in_specs = [
         pl.BlockSpec((1, 1, 1, GQT, D), lambda b, h, t, *_: (b, h, t, 0, 0)),
@@ -548,7 +704,7 @@ def _prefill_tiled(
         from jacobiforcing_tpu.ops.kv_cache import gather_scales
 
         P = block_tables.shape[1]
-        S_pad = ((P + _PP - 1) // _PP) * _PP * page_size
+        S_pad = ((P + pp - 1) // pp) * pp * page_size
 
         def gather_plane(scale_l):
             g = gather_scales(scale_l, block_tables, page_size)  # [B, S, KH]
@@ -567,14 +723,9 @@ def _prefill_tiled(
         grid=(B, KH, nqt),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 1, GQT, D), lambda b, h, t, *_: (b, h, t, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((_NBUF, _PP * page_size, D), k_cache_l.dtype),
-            pltpu.VMEM((_NBUF, _PP * page_size, D), v_cache_l.dtype),
-            pltpu.SemaphoreType.DMA((_NBUF, 2 * _PP)),
-            pltpu.VMEM((GQT, D), jnp.float32),
-            pltpu.VMEM((GQT, 1), jnp.float32),
-            pltpu.VMEM((GQT, 1), jnp.float32),
-        ],
+        scratch_shapes=_scratch_shapes(
+            GQT, D, pp * page_size, k_cache_l.dtype, flat, pp=pp
+        ),
     )
 
     def _squeeze_kernel(bt, clen, qs, *rest):
@@ -589,7 +740,7 @@ def _prefill_tiled(
         _kernel(
             bt, clen, qs, q_ref.at[0, 0, 0], k_hbm, v_hbm, ks2, vs2,
             o_ref.at[0, 0, 0], *scratch,
-            page=page_size, L=QT, scaled=scaled, tiled=True,
+            page=page_size, L=QT, scaled=scaled, tiled=True, pp=pp, flat=flat,
         )
 
     out = pl.pallas_call(

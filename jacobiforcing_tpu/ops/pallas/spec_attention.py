@@ -29,7 +29,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from jacobiforcing_tpu.ops.pallas.paged_attention import _NBUF, _PP
+from jacobiforcing_tpu.ops.pallas.paged_attention import (
+    _FLAT_CAP, _NBUF, _PP, _SOFTMAX, _flat_ok, _pick_pp,
+)
 
 _NEG_INF = -1e30
 
@@ -65,30 +67,40 @@ def _kernel(
     o_ref,  # [G*T, D] VMEM
     # scratch
     kbuf, vbuf,  # [NBUF, TILE, D]
-    sem,  # [NBUF, 4]
-    acc, m_i, l_i,
-    *,
+    sem,  # [NBUF, 2*pp]
+    acc,  # [rows, D] f32
+    *softmax_scratch,  # flat: p_sum [rows, TILE], l_i; online: m_i, l_i
     page: int,
     T: int,
     G: int,
+    flat: bool = None,
+    pp: int = None,
 ):
+    if pp is None:
+        pp = _PP
+    if flat is None:
+        flat = _SOFTMAX == "flat"
+    if flat:
+        p_sum, l_i = softmax_scratch
+    else:
+        m_i, l_i = softmax_scratch
     b = pl.program_id(0)
     h = pl.program_id(1)
     clen = clen_ref[b]
     npages = lax.div(clen + jnp.int32(page - 1), jnp.int32(page))
     GL, D = q_ref.shape
 
-    tile = _PP * page
-    ntiles = lax.div(npages + jnp.int32(_PP - 1), jnp.int32(_PP))
+    tile = pp * page
+    ntiles = lax.div(npages + jnp.int32(pp - 1), jnp.int32(pp))
 
     def tile_dmas(slot, t):
-        # Unconditional fetch of _PP pages; indices past the end clamp to the
+        # Unconditional fetch of pp pages; indices past the end clamp to the
         # last valid page (key_abs >= clen there, so the mask kills them) —
         # branch-free scalar control, no buffer zeroing needed.  page_id
         # clamps at 0: -1 padding entries would fault the DMA engine.
         out = []
-        for j in range(_PP):
-            p = jnp.minimum(_PP * t + jnp.int32(j), npages - 1)
+        for j in range(pp):
+            p = jnp.minimum(pp * t + jnp.int32(j), npages - 1)
             page_id = jnp.maximum(bt_ref[b, p], 0)
             base = pl.multiple_of(page_id * page, page)
             off = j * page
@@ -109,8 +121,11 @@ def _kernel(
                 dma.start()
 
     acc[...] = jnp.zeros_like(acc)
-    m_i[...] = jnp.full_like(m_i, _NEG_INF)
     l_i[...] = jnp.zeros_like(l_i)
+    if flat:
+        p_sum[...] = jnp.zeros_like(p_sum)
+    else:
+        m_i[...] = jnp.full_like(m_i, _NEG_INF)
 
     q = q_ref[...]  # [G*T, D], pre-scaled by scale*log2e (exp2 domain)
 
@@ -125,17 +140,30 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )
 
-        def update(sv):
-            m_new = jnp.maximum(m_i[...], jnp.max(sv, axis=1, keepdims=True))
-            alpha = jnp.exp2(m_i[...] - m_new)
-            p_ij = jnp.exp2(sv - m_new)
-            l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
-            acc[...] = acc[...] * alpha + lax.dot_general(
-                p_ij.astype(q.dtype), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            m_i[...] = m_new
+        if flat:
+            def update(sv):
+                # same flat exp2 softmax as the decode kernel (see
+                # paged_attention._SOFTMAX): no running max, denominator as an
+                # elementwise partial sum reduced once after the loop
+                p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+                p_sum[...] += p_ij
+                acc[...] += lax.dot_general(
+                    p_ij.astype(q.dtype), v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            def update(sv):
+                m_new = jnp.maximum(m_i[...], jnp.max(sv, axis=1, keepdims=True))
+                alpha = jnp.exp2(m_i[...] - m_new)
+                p_ij = jnp.exp2(sv - m_new)
+                l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
+                acc[...] = acc[...] * alpha + lax.dot_general(
+                    p_ij.astype(q.dtype), v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_i[...] = m_new
 
         # every committed key is visible to every in-flight query, so only the
         # ragged tail tile needs the length mask
@@ -158,8 +186,11 @@ def _kernel(
         return 0
 
     lax.fori_loop(jnp.int32(0), ntiles, body, 0)
+    if flat:
+        # one cross-lane reduction for the whole committed phase
+        l_i[...] = jnp.sum(p_sum[...], axis=1, keepdims=True)
 
-    # ---- in-flight block phase: one more online-softmax step ----
+    # ---- in-flight block phase: one more softmax step ----
     kb = kblk_ref[...].astype(q.dtype)  # [T, D]
     vb = vblk_ref[...].astype(q.dtype)
     mask = mask_ref[...]  # [T, T] int8
@@ -171,17 +202,26 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )  # [T, T]; scale*log2e folded into q -> exp2 domain
         s = jnp.where(mask != 0, s, _NEG_INF)
-        m_old = m_i[rows, :]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp2(m_old - m_new)
-        p_ij = jnp.exp2(s - m_new)
-        l_i[rows, :] = alpha * l_i[rows, :] + jnp.sum(p_ij, axis=1, keepdims=True)
-        acc[rows, :] = acc[rows, :] * alpha + lax.dot_general(
-            p_ij.astype(q.dtype), vb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_i[rows, :] = m_new
+        if flat:
+            p_ij = jnp.exp2(jnp.minimum(s, _FLAT_CAP))
+            l_i[rows, :] += jnp.sum(p_ij, axis=1, keepdims=True)
+            acc[rows, :] += lax.dot_general(
+                p_ij.astype(q.dtype), vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m_old = m_i[rows, :]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp2(m_old - m_new)
+            p_ij = jnp.exp2(s - m_new)
+            l_i[rows, :] = alpha * l_i[rows, :] + jnp.sum(p_ij, axis=1, keepdims=True)
+            acc[rows, :] = acc[rows, :] * alpha + lax.dot_general(
+                p_ij.astype(q.dtype), vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_i[rows, :] = m_new
 
     o_ref[...] = (acc[...] / jnp.maximum(l_i[...], 1e-30)).astype(o_ref.dtype)
 
@@ -219,6 +259,13 @@ def spec_attention_pallas(
     kb = k_new.transpose(0, 2, 1, 3)  # [B, KH, T, D]
     vb = v_new.transpose(0, 2, 1, 3)
     mask8 = intra_mask.astype(jnp.int8)
+    pp = _pick_pp(B, block_tables.shape[1], page_size)
+    kv_isz = k_cache_l.dtype.itemsize
+    if pp > 2 and not _flat_ok(rows, pp * page_size, D, kv_isz, q.dtype.itemsize):
+        pp = 2
+    flat = _SOFTMAX == "flat" and _flat_ok(
+        rows, pp * page_size, D, kv_isz, q.dtype.itemsize
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -233,11 +280,15 @@ def spec_attention_pallas(
         ],
         out_specs=pl.BlockSpec((1, 1, rows, D), lambda b, h, g, *_: (b, h, g, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_NBUF, _PP * page_size, D), k_cache_l.dtype),
-            pltpu.VMEM((_NBUF, _PP * page_size, D), v_cache_l.dtype),
-            pltpu.SemaphoreType.DMA((_NBUF, 2 * _PP)),
+            pltpu.VMEM((_NBUF, pp * page_size, D), k_cache_l.dtype),
+            pltpu.VMEM((_NBUF, pp * page_size, D), v_cache_l.dtype),
+            pltpu.SemaphoreType.DMA((_NBUF, 2 * pp)),
             pltpu.VMEM((rows, D), jnp.float32),
-            pltpu.VMEM((rows, 1), jnp.float32),
+        ] + (
+            [pltpu.VMEM((rows, pp * page_size), jnp.float32)]
+            if flat
+            else [pltpu.VMEM((rows, 1), jnp.float32)]
+        ) + [
             pltpu.VMEM((rows, 1), jnp.float32),
         ],
     )
@@ -246,7 +297,7 @@ def spec_attention_pallas(
         _kernel(
             bt, clen, q_ref.at[0, 0], k_hbm, v_hbm, kb_ref.at[0, 0],
             vb_ref.at[0, 0], m_ref.at[0], o_ref.at[0, 0], *scr,
-            page=page_size, T=T, G=gpt,
+            page=page_size, T=T, G=gpt, pp=pp,
         )
 
     out = pl.pallas_call(

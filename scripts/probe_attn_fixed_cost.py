@@ -84,6 +84,9 @@ for ctx in (256, 512, 1024, 2048, 4096, 8192):
     fused = B * KH <= 8 and KH * GL <= pa.MAX_Q_ROWS
 
     def raw_call(qr, k, v, bt, clen, qs):
+        scratch = pa._scratch_shapes(
+            GL, D, pa._PP * PAGE, k.dtype, pa._SOFTMAX == "flat"
+        )
         if fused:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -94,14 +97,7 @@ for ctx in (256, 512, 1024, 2048, 4096, 8192):
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec((1, KH, GL, D), lambda b, *_: (b, 0, 0, 0)),
-                scratch_shapes=[
-                    pltpu.VMEM((pa._NBUF, pa._PP * PAGE, D), k.dtype),
-                    pltpu.VMEM((pa._NBUF, pa._PP * PAGE, D), v.dtype),
-                    pltpu.SemaphoreType.DMA((pa._NBUF, 2 * pa._PP)),
-                    pltpu.VMEM((GL, D), jnp.float32),
-                    pltpu.VMEM((GL, 1), jnp.float32),
-                    pltpu.VMEM((GL, 1), jnp.float32),
-                ],
+                scratch_shapes=scratch,
             )
 
             def kern(bt_r, cl_r, qs_r, q_ref, kh, vh, o_ref, *scratch):
@@ -119,14 +115,7 @@ for ctx in (256, 512, 1024, 2048, 4096, 8192):
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0)),
-                scratch_shapes=[
-                    pltpu.VMEM((pa._NBUF, pa._PP * PAGE, D), k.dtype),
-                    pltpu.VMEM((pa._NBUF, pa._PP * PAGE, D), v.dtype),
-                    pltpu.SemaphoreType.DMA((pa._NBUF, 2 * pa._PP)),
-                    pltpu.VMEM((GL, D), jnp.float32),
-                    pltpu.VMEM((GL, 1), jnp.float32),
-                    pltpu.VMEM((GL, 1), jnp.float32),
-                ],
+                scratch_shapes=scratch,
             )
 
             def kern(bt_r, cl_r, qs_r, q_ref, kh, vh, o_ref, *scratch):
