@@ -516,6 +516,30 @@ def forward_dense(
     return rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
 
 
+def _act_quantize(hidden: jax.Array):
+    """Per-row symmetric int8 activation quantization (the W8A8 recipe of
+    ops/quant.mm, shared by the lm-head paths so act_quant configs run the
+    head's matmuls on the int8 MXU instead of dequantizing the int8 head
+    weights into the bf16 feed)."""
+    hf = hidden.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax / 127.0, 1e-8)
+    return jnp.round(hf / sx).astype(jnp.int8), sx
+
+
+def _head_logits(cfg, wq, ws, hidden, hq, acc):
+    """Logits for one (possibly full) vocab slice of an int8 lm_head.
+
+    hq = (xq, sx) from _act_quantize when cfg.act_quant, else None.
+    """
+    if hq is not None:
+        xq, sx = hq
+        y = jnp.dot(xq, wq, preferred_element_type=jnp.int32)
+        return y.astype(acc) * sx.astype(acc) * ws.astype(acc)[..., 0, :]
+    y = jnp.dot(hidden, wq.astype(cfg.dtype), preferred_element_type=acc)
+    return y * ws.astype(y.dtype)[..., 0, :]
+
+
 def logits_at(params: Dict[str, Any], cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
     """LM head over a (already gathered) hidden slice; fp32 logits.
 
@@ -524,12 +548,9 @@ def logits_at(params: Dict[str, Any], cfg: ModelConfig, hidden: jax.Array) -> ja
     w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
     if cfg.tie_word_embeddings:
         w = w.T
-    if isinstance(w, dict):  # int8 weight-only lm_head
-        y = jnp.dot(
-            hidden, w["q"].astype(cfg.dtype),
-            preferred_element_type=acc_dtype(cfg.dtype),
-        )
-        return y * w["s"].astype(y.dtype)[..., 0, :]
+    if isinstance(w, dict):  # int8 lm_head (weight-only or int8 MXU)
+        hq = _act_quantize(hidden) if cfg.act_quant else None
+        return _head_logits(cfg, w["q"], w["s"], hidden, hq, acc_dtype(cfg.dtype))
     return jnp.dot(
         hidden, w.astype(cfg.dtype), preferred_element_type=acc_dtype(cfg.dtype)
     )
@@ -560,6 +581,7 @@ def chunked_token_logprob(
         return lx - lse
 
     n_chunks = (V + vocab_chunk - 1) // vocab_chunk
+    hq = _act_quantize(hidden) if (isinstance(w, dict) and cfg.act_quant) else None
 
     def body(carry, c):
         m, s, lx = carry
@@ -567,8 +589,7 @@ def chunked_token_logprob(
         if isinstance(w, dict):
             wq = lax.dynamic_slice_in_dim(w["q"], start, vocab_chunk, axis=-1)
             ws = lax.dynamic_slice_in_dim(w["s"], start, vocab_chunk, axis=-1)
-            logits = jnp.dot(hidden, wq.astype(cfg.dtype), preferred_element_type=acc)
-            logits = logits * ws.astype(logits.dtype)[..., 0, :]
+            logits = _head_logits(cfg, wq, ws, hidden, hq, acc)
         else:
             if tied:
                 wc = lax.dynamic_slice_in_dim(w, start, vocab_chunk, axis=0).T
@@ -619,6 +640,7 @@ def greedy_tokens(
 
     n_chunks = (V + vocab_chunk - 1) // vocab_chunk
     acc = acc_dtype(cfg.dtype)
+    hq = _act_quantize(hidden) if (isinstance(w, dict) and cfg.act_quant) else None
 
     def body(carry, c):
         best, best_idx = carry
@@ -628,8 +650,7 @@ def greedy_tokens(
         if isinstance(w, dict):
             wq = lax.dynamic_slice_in_dim(w["q"], start, vocab_chunk, axis=-1)
             ws = lax.dynamic_slice_in_dim(w["s"], start, vocab_chunk, axis=-1)
-            logits = jnp.dot(hidden, wq.astype(cfg.dtype), preferred_element_type=acc)
-            logits = logits * ws.astype(logits.dtype)[..., 0, :]
+            logits = _head_logits(cfg, wq, ws, hidden, hq, acc)
         else:
             if tied:
                 wc = lax.dynamic_slice_in_dim(w, start, vocab_chunk, axis=0).T
