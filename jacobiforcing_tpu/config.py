@@ -68,6 +68,13 @@ class Config:
 
     enforce_eager: bool = False
     seed: int = 0
+    # Persistent XLA compilation cache: the warmup grid (~25 executables,
+    # 20-40s each at 7B dims) compiles once per machine, not once per process
+    # (TPU analog of reference CUDA-graph capture-at-init being free on
+    # restart).  Directory defaults to ~/.cache/jacobiforcing_tpu/xla_cache;
+    # disable with compilation_cache=False or JF_COMPILE_CACHE=0.
+    compilation_cache: bool = True
+    compilation_cache_dir: str = ""
     # "" | "int8" | "w8a8" — quantization applied at engine load.
     # int8: weight-only (halves HBM weight traffic; the small-batch decode
     # regime; fits Qwen2.5-7B on one 16GB v5e chip).

@@ -55,6 +55,10 @@ class LLMEngine:
         mesh=None,
     ):
         self.config = config
+        if config.compilation_cache:
+            from jacobiforcing_tpu.utils.platform import enable_compilation_cache
+
+            enable_compilation_cache(config.compilation_cache_dir)
         if params is None:
             from jacobiforcing_tpu.utils.loader import load_checkpoint
 

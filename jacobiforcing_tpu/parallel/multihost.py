@@ -8,9 +8,11 @@ full slice, and the existing ("data", "model") mesh simply covers more
 devices — the "model" axis should stay within a host/ICI domain while "data"
 crosses hosts over DCN (SURVEY.md §2.7).
 
-Cannot be exercised on this single-chip environment; the virtual-device mesh
-tests + `__graft_entry__.dryrun_multichip` validate the SPMD programs, and
-this module is the production entry glue.
+Exercised in CI by tests/test_multihost.py: 2 local processes x 4 virtual CPU
+devices join through `initialize_multihost` (gloo cross-process collectives)
+and run a dp-sharded consistency step that must match a single-process oracle.
+Real DCN behavior still needs a pod; the virtual-device mesh tests +
+`__graft_entry__.dryrun_multichip` validate the SPMD programs themselves.
 """
 
 from __future__ import annotations

@@ -30,10 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NL = int(os.environ.get("JF_PROBE_NL", "16"))  # stacked layers (scan length)
 REPS = int(os.environ.get("JF_PROBE_REPS", "8"))
+assert REPS >= 1, "JF_PROBE_REPS must be >= 1"
 
 M = int(os.environ.get("JF_PROBE_M", "64"))
 K = int(os.environ.get("JF_PROBE_K", "3584"))
 N = int(os.environ.get("JF_PROBE_N", "18944"))
+assert N >= K, "feedback chain slices y[:, :K]; need N >= K"
 
 
 def time_fn(fn, *args):
@@ -49,18 +51,22 @@ def time_fn(fn, *args):
 
 def harness(call, w_all, s):
     """Scan over stacked layer weights with activation feedback — the
-    production pattern (qwen.forward's lax.scan over `lp`)."""
+    production pattern (qwen.forward's lax.scan over `lp`).
+
+    The feedback multiplier is a runtime argument (passed as 0.0 at call
+    time) so the dependency on y cannot be constant-folded away even under
+    aggressive algebraic simplification."""
 
     @jax.jit
-    def run(x0):
+    def run(x0, fb_scale):
         def body(xc, w_l):
             y = call(xc, w_l, s)  # [M, N]
-            nxt = xc + (y[:, :K] * 0).astype(xc.dtype)
+            nxt = xc + (y[:, :K] * fb_scale).astype(xc.dtype)
             return nxt, ()
 
         return lax.scan(body, x0, w_all)[0]
 
-    return run
+    return lambda x0: run(x0, jnp.bfloat16(0.0))
 
 
 key = jax.random.PRNGKey(0)
@@ -123,19 +129,25 @@ for spec in sweep.split(","):
     if K % KT or N % NT:
         print(f"tiles {spec}: skip (not divisible)")
         continue
+    # f32 reference (isolates kernel error from bf16 reference accumulation)
+    ref = (
+        np.asarray(x, np.float32) @ np.asarray(w_all[0], np.float32)
+    ) * np.asarray(s, np.float32)
     # plain layout
-    kern = mk_pallas(KT, NT, blocked=False)
-    ms, gb = time_fn(harness(lambda xc, w, s, kern=kern: kern(xc, w, s), w_all, s), x)
+    kern_plain = mk_pallas(KT, NT, blocked=False)
+    ms, gb = time_fn(
+        harness(lambda xc, w, s, k=kern_plain: k(xc, w, s), w_all, s), x
+    )
     print(f"pallas_plain   {spec:>10}  {ms:7.3f} ms  {gb:6.0f} GB/s", flush=True)
+    got = np.asarray(kern_plain(x, w_all[0], s), np.float32)
+    err = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
+    print(f"  plain rel-err {err:.2e}", flush=True)
     # blocked layout
     wb = w_all.reshape(NL, K // KT, KT, N // NT, NT).transpose(0, 1, 3, 2, 4)
     kern = mk_pallas(KT, NT, blocked=True)
     ms, gb = time_fn(harness(lambda xc, w, s, kern=kern: kern(xc, w, s), wb, s), x)
     print(f"pallas_blocked {spec:>10}  {ms:7.3f} ms  {gb:6.0f} GB/s", flush=True)
 
-    ref = np.asarray(
-        jnp.dot(x, w_all[0].astype(jnp.bfloat16)) * s, np.float32
-    )
     got = np.asarray(kern(x, wb[0], s), np.float32)
     err = np.max(np.abs(ref - got)) / (np.max(np.abs(ref)) + 1e-9)
     print(f"  blocked rel-err {err:.2e}", flush=True)

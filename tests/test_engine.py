@@ -214,3 +214,27 @@ def test_engine_warmup_precompiles_and_leaves_state_clean():
     fresh_out = make_engine().generate(prompts, sp)
     for a, b in zip(warm_out, fresh_out):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_compilation_cache_wiring(tmp_path, monkeypatch):
+    """Persistent-XLA-cache glue: env opt-out honored, dir created, jax config
+    pointed at it (so a second process's warmup grid hits the disk cache
+    instead of recompiling ~25 executables)."""
+    import os
+
+    import jax
+
+    from jacobiforcing_tpu.utils import platform as plat
+
+    monkeypatch.setattr(plat, "_CACHE_ENABLED", False)
+    monkeypatch.setenv("JF_COMPILE_CACHE", "0")
+    assert plat.enable_compilation_cache() == ""
+
+    monkeypatch.delenv("JF_COMPILE_CACHE")
+    cache_dir = str(tmp_path / "xla_cache")
+    got = plat.enable_compilation_cache(cache_dir)
+    assert got == cache_dir and os.path.isdir(cache_dir)
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+    # idempotent: second call keeps the already-registered dir
+    assert plat.enable_compilation_cache("/elsewhere") == "/elsewhere"
+    assert jax.config.jax_compilation_cache_dir == cache_dir
