@@ -185,8 +185,9 @@ def paged_attention_with_block(
     winner's K/V (returned by forward_spec) is scattered in afterwards.
 
     On TPU an online-softmax Pallas kernel streams the committed pages
-    (ops/pallas/spec_attention.py) instead of the dense gather below; fp8-
-    scaled caches stay on the XLA path (dequant on gather).
+    (ops/pallas/spec_attention.py) instead of the dense gather below;
+    fp8/int8-KV per-row scales are folded into the kernel's scores and
+    probabilities exactly as in the decode kernel.
     """
     impl = os.environ.get("JF_ATTN_IMPL", "auto")
     # no row cap here: the spec kernel tiles oversized query sets over
@@ -198,7 +199,6 @@ def paged_attention_with_block(
     kernel_ok = (
         kernel_feasible(q, k_cache_l, page_size, max_rows=None)
         and groups_per_tile(q.shape[2] // k_cache_l.shape[0], q.shape[1]) > 0
-        and k_scale_l is None
         and (only_t is None or str(q.shape[1]) in only_t.split(","))
     )
     if impl in ("auto", "pallas") and kernel_ok:
@@ -209,6 +209,7 @@ def paged_attention_with_block(
                 spec_attention_pallas,
             )
 
+            scaled = k_scale_l is not None
             local = functools.partial(
                 spec_attention_pallas, scale=scale, page_size=page_size,
                 interpret=_interpret(),
@@ -216,17 +217,27 @@ def paged_attention_with_block(
             mesh, xla_fallback = _serving_mesh_for(q, k_cache_l)
             if mesh is not None:
                 sp = _tp_specs(mesh)
+                in_specs = [sp["q"], sp["cache"], sp["cache"], sp["bt"],
+                            sp["len"], sp["knew"], sp["knew"], sp["mask"]]
+                args = [q, k_cache_l, v_cache_l, block_tables, cache_lens,
+                        k_new, v_new, intra_mask]
+                if scaled:
+                    local = functools.partial(
+                        lambda *a, _f=local: _f(
+                            *a[:8], k_scale_l=a[8], v_scale_l=a[9]
+                        )
+                    )
+                    in_specs += [sp["scale"], sp["scale"]]
+                    args += [k_scale_l, v_scale_l]
                 return jax.shard_map(
-                    local, mesh=mesh,
-                    in_specs=(sp["q"], sp["cache"], sp["cache"], sp["bt"],
-                              sp["len"], sp["knew"], sp["knew"], sp["mask"]),
+                    local, mesh=mesh, in_specs=tuple(in_specs),
                     out_specs=sp["q"], check_vma=False,
-                )(q, k_cache_l, v_cache_l, block_tables, cache_lens,
-                  k_new, v_new, intra_mask)
+                )(*args)
             if not xla_fallback:
                 return local(
                     q, k_cache_l, v_cache_l, block_tables, cache_lens,
                     k_new, v_new, intra_mask,
+                    k_scale_l=k_scale_l, v_scale_l=v_scale_l,
                 )
     B, T, NH, D = q.shape
     KH = k_cache_l.shape[0]

@@ -82,34 +82,46 @@ MAX_Q_ROWS = int(_os.environ.get("JF_PA_MAXROWS", "2048"))
 #            as scores stay below the f32 overflow point 2^128: p =
 #            exp2(min(s, 100)) is exact-softmax up to rounding whenever every
 #            score < 100 in the exp2 domain (= 69 nats — attention logits of
-#            real checkpoints sit one order below).  The denominator
-#            accumulates as an elementwise [GL, tile] f32 partial sum (one
-#            VPU add per tile) and cross-lane-reduces ONCE per program.
-#            Per-tile work drops to dot / min+exp2 / cast / add / dot.
+#            real checkpoints sit one order below).  The denominator rides
+#            the MXU: each tile's probabilities are dotted with a resident
+#            ones block ([tile, 128], one extra MXU pass per tile) into a
+#            [GL, 128] f32 accumulator whose column 0 is l_i — no per-tile
+#            VPU p_sum add, no per-program cross-lane reduction, and the
+#            softmax state shrinks from [GL, tile] to [GL, 128] f32.
+#            Per-tile work drops to dot / min+exp2 / cast / dot / dot.
+#            The denominator consumes the same cast-to-q-dtype probabilities
+#            as the numerator, so out stays an exact convex combination of
+#            the v rows under the actually-used weights.
 #   "online" safe rescaling online softmax (flash-attention update); keep for
 #            A/B and for hypothetical >69-nat logit regimes.
 _SOFTMAX = _os.environ.get("JF_PA_SOFTMAX", "flat")
 _FLAT_CAP = 100.0  # exp2-domain score clamp: 2^100 * 512 keys << f32 max
+_LSUM_W = 128  # lane width of the ones block / l accumulator
 
 
 def _flat_ok(rows: int, tile: int, D: int, kv_itemsize: int, q_itemsize: int) -> bool:
-    """Whether the flat-softmax p_sum scratch fits scoped VMEM (16M on v5e).
+    """Whether the flat-softmax scratch fits scoped VMEM (16M on v5e).
 
-    Rough per-program estimate: DMA buffers + acc + p_sum + the [rows, tile]
-    f32 score temporary + q/out blocks, with headroom for Mosaic's own
-    temporaries.  Oversized cases (f32 caches at prefill scale, 4-page tiles
-    at 2048 query rows) fall back to the online-softmax kernel.
+    Rough per-program estimate: DMA buffers + acc + lsum/ones + the
+    [rows, tile] f32 score temporary + q/out blocks, with headroom for
+    Mosaic's own temporaries.  Oversized cases (f32 caches at prefill scale)
+    fall back to the online-softmax kernel.
     """
     scoped = (
         2 * _NBUF * tile * D * kv_itemsize  # kbuf + vbuf
         + rows * D * 4                      # acc
-        + rows * tile * 4 * 2               # p_sum + score temporary
+        + rows * tile * 4                   # score temporary
+        + rows * _LSUM_W * 4                # lsum
+        + tile * _LSUM_W * q_itemsize       # ones block
         + 2 * rows * D * q_itemsize         # q + out blocks
     )
     return scoped <= 11 * 2**20
 
 
-def _scratch_shapes(GL: int, D: int, tile: int, kv_dtype, flat: bool, pp: int = None):
+def _scratch_shapes(
+    GL: int, D: int, tile: int, kv_dtype, flat: bool, pp: int = None,
+    q_dtype=jnp.bfloat16,
+):
     """VMEM scratch for one program: accumulator + softmax-denominator state.
 
     Shared with scripts/probe_attn_fixed_cost.py so probes mirror the real
@@ -124,7 +136,10 @@ def _scratch_shapes(GL: int, D: int, tile: int, kv_dtype, flat: bool, pp: int = 
         pltpu.VMEM((GL, D), jnp.float32),  # acc
     ]
     if flat:
-        return base + [pltpu.VMEM((GL, tile), jnp.float32)]  # p_sum
+        return base + [
+            pltpu.VMEM((tile, _LSUM_W), q_dtype),  # ones block (MXU rhs)
+            pltpu.VMEM((GL, _LSUM_W), jnp.float32),  # lsum accumulator
+        ]
     return base + [
         pltpu.VMEM((GL, 1), jnp.float32),  # m_i
         pltpu.VMEM((GL, 1), jnp.float32),  # l_i
@@ -161,7 +176,7 @@ def _kernel(
     if flat is None:
         flat = _SOFTMAX == "flat"
     if flat:
-        (p_sum,) = softmax_scratch
+        ones_blk, lsum = softmax_scratch
     else:
         m_i, l_i = softmax_scratch
     b = pl.program_id(0)
@@ -214,7 +229,8 @@ def _kernel(
 
     acc[...] = jnp.zeros_like(acc)
     if flat:
-        p_sum[...] = jnp.zeros_like(p_sum)
+        ones_blk[...] = jnp.ones_like(ones_blk)
+        lsum[...] = jnp.zeros_like(lsum)
     else:
         m_i[...] = jnp.full_like(m_i, _NEG_INF)
         l_i[...] = jnp.zeros_like(l_i)
@@ -244,13 +260,22 @@ def _kernel(
             def update(sv):
                 # masked scores are -1e30 -> exp2 underflows to exactly 0
                 p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
-                p_sum[...] += p_ij
+                pt = p_ij.astype(q.dtype)
                 if scaled:
                     # dequant V folded into the probabilities:
-                    # p @ (v_q * vs) == (p * vs) @ v_q  (p_sum uses true p)
+                    # p @ (v_q * vs) == (p * vs) @ v_q  (the denominator uses
+                    # true p — a separate cast without the V scale)
                     pv = (p_ij * vs_ref[:, pl.ds(t * tile, tile)]).astype(q.dtype)
                 else:
-                    pv = p_ij.astype(q.dtype)
+                    pv = pt
+                # denominator on the MXU: p . ones accumulates l_i in every
+                # lane of lsum (column 0 read at the end) — replaces the
+                # [GL, tile] f32 VPU partial-sum add + final cross-lane reduce
+                lsum[...] += lax.dot_general(
+                    pt, ones_blk[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
                 acc[...] += lax.dot_general(
                     pv, v,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -299,8 +324,8 @@ def _kernel(
 
     lax.fori_loop(jnp.int32(0), ntiles, body, 0)
     if flat:
-        # ONE cross-lane reduction per program (vs one per tile online)
-        l = jnp.sum(p_sum[...], axis=1, keepdims=True)
+        # every lsum lane holds the full denominator (ones rhs); no reduce
+        l = lsum[:, :1]
     else:
         l = l_i[...]
     o_ref[...] = (acc[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
@@ -345,7 +370,8 @@ def _kernel_fused(
     if flat is None:
         flat = _SOFTMAX == "flat"
     if flat:
-        (p_sum,) = softmax_scratch
+        ones_blk, lsum = softmax_scratch
+        ones_blk[...] = jnp.ones_like(ones_blk)  # once per program, all heads
     else:
         m_i, l_i = softmax_scratch
     b = pl.program_id(0)
@@ -401,7 +427,7 @@ def _kernel_fused(
         def _():
             acc[...] = jnp.zeros_like(acc)
             if flat:
-                p_sum[...] = jnp.zeros_like(p_sum)
+                lsum[...] = jnp.zeros_like(lsum)
             else:
                 m_i[...] = jnp.full_like(m_i, _NEG_INF)
                 l_i[...] = jnp.zeros_like(l_i)
@@ -420,7 +446,7 @@ def _kernel_fused(
         if flat:
             def update(sv):
                 p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
-                p_sum[...] += p_ij
+                pt = p_ij.astype(q.dtype)
                 if scaled:
                     pv = (
                         p_ij
@@ -428,7 +454,12 @@ def _kernel_fused(
                         .reshape(1, tile)
                     ).astype(q.dtype)
                 else:
-                    pv = p_ij.astype(q.dtype)
+                    pv = pt
+                lsum[...] += lax.dot_general(
+                    pt, ones_blk[...],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
                 acc[...] += lax.dot_general(
                     pv, v,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -475,7 +506,7 @@ def _kernel_fused(
         @pl.when(tt == ntiles - 1)
         def _():
             if flat:
-                l = jnp.sum(p_sum[...], axis=1, keepdims=True)
+                l = lsum[:, :1]
             else:
                 l = l_i[...]
             o_ref[pl.ds(h, 1)] = (
@@ -597,7 +628,7 @@ def paged_attention_pallas(
             else pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0))
         ),
         scratch_shapes=_scratch_shapes(
-            GL, D, pp * page_size, k_cache_l.dtype, flat, pp=pp
+            GL, D, pp * page_size, k_cache_l.dtype, flat, pp=pp, q_dtype=q.dtype
         ),
     )
 
@@ -724,7 +755,7 @@ def _prefill_tiled(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 1, GQT, D), lambda b, h, t, *_: (b, h, t, 0, 0)),
         scratch_shapes=_scratch_shapes(
-            GQT, D, pp * page_size, k_cache_l.dtype, flat, pp=pp
+            GQT, D, pp * page_size, k_cache_l.dtype, flat, pp=pp, q_dtype=q.dtype
         ),
     )
 

@@ -60,6 +60,8 @@ def _kernel(
     q_ref,  # [G*T, D] VMEM
     k_hbm,  # [KH, num_slots, D] HBM
     v_hbm,
+    ks_ref,  # [1, S_pad] f32 VMEM gathered K dequant scales (or None)
+    vs_ref,
     kblk_ref,  # [T, D] VMEM: this (b, h)'s in-flight K
     vblk_ref,
     mask_ref,  # [T, T] int8 VMEM: intra-block visibility (1 = attend)
@@ -73,6 +75,7 @@ def _kernel(
     page: int,
     T: int,
     G: int,
+    scaled: bool = False,
     flat: bool = None,
     pp: int = None,
 ):
@@ -139,6 +142,16 @@ def _kernel(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if scaled:
+            # dequant K folded into the scores, V into the probabilities —
+            # identical algebra to the decode kernel (paged_attention.py):
+            # (q . k_q) * ks == q . (k_q * ks); p @ (v_q*vs) == (p*vs) @ v_q
+            s = s * ks_ref[:, pl.ds(t * tile, tile)]  # [1, TILE] broadcast
+
+        def fold_vs(p_ij):
+            if scaled:
+                return (p_ij * vs_ref[:, pl.ds(t * tile, tile)]).astype(q.dtype)
+            return p_ij.astype(q.dtype)
 
         if flat:
             def update(sv):
@@ -148,7 +161,7 @@ def _kernel(
                 p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
                 p_sum[...] += p_ij
                 acc[...] += lax.dot_general(
-                    p_ij.astype(q.dtype), v,
+                    fold_vs(p_ij), v,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -159,7 +172,7 @@ def _kernel(
                 p_ij = jnp.exp2(sv - m_new)
                 l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
                 acc[...] = acc[...] * alpha + lax.dot_general(
-                    p_ij.astype(q.dtype), v,
+                    fold_vs(p_ij), v,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -239,6 +252,8 @@ def spec_attention_pallas(
     scale: float,
     *,
     page_size: int,
+    k_scale_l: jax.Array = None,  # [KH, num_slots] f32 dequant rows (fp8/int8 KV)
+    v_scale_l: jax.Array = None,
     interpret: bool = False,
 ) -> jax.Array:
     scale = float(scale)
@@ -250,6 +265,7 @@ def spec_attention_pallas(
     if gpt == 0:
         raise ValueError(f"spec kernel: T={T} query rows exceed VMEM cap")
     rows = gpt * T  # query rows per program
+    scaled = k_scale_l is not None
 
     import math as _math
 
@@ -267,17 +283,43 @@ def spec_attention_pallas(
         rows, pp * page_size, D, kv_isz, q.dtype.itemsize
     )
 
+    in_specs = [
+        pl.BlockSpec((1, 1, rows, D), lambda b, h, g, *_: (b, h, g, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [block_tables.astype(jnp.int32), cache_lens.astype(jnp.int32),
+            qr, k_cache_l, v_cache_l]
+    if scaled:
+        from jacobiforcing_tpu.ops.kv_cache import gather_scales
+
+        P = block_tables.shape[1]
+        # pad the gathered plane to whole tiles (tail pages read the clamped
+        # last page; the cache-length mask already kills those columns)
+        S_pad = ((P + pp - 1) // pp) * pp * page_size
+
+        def gather_plane(scale_l):
+            g = gather_scales(scale_l, block_tables, page_size)  # [B, S, KH]
+            g = g.transpose(0, 2, 1)  # [B, KH, S]
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, S_pad - g.shape[-1])))
+            return g[:, :, None, :]  # [B, KH, 1, S_pad]
+
+        args += [gather_plane(k_scale_l), gather_plane(v_scale_l)]
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, g, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, g, *_: (b, h, 0, 0)),
+        ]
+    args += [kb, vb, mask8]
+    in_specs += [
+        pl.BlockSpec((1, 1, T, D), lambda b, h, g, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, T, D), lambda b, h, g, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, T, T), lambda b, h, g, *_: (b, 0, 0)),
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, KH, G // gpt),
-        in_specs=[
-            pl.BlockSpec((1, 1, rows, D), lambda b, h, g, *_: (b, h, g, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, T, D), lambda b, h, g, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, T, D), lambda b, h, g, *_: (b, h, 0, 0)),
-            pl.BlockSpec((1, T, T), lambda b, h, g, *_: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, rows, D), lambda b, h, g, *_: (b, h, g, 0)),
         scratch_shapes=[
             pltpu.VMEM((_NBUF, pp * page_size, D), k_cache_l.dtype),
@@ -293,11 +335,19 @@ def spec_attention_pallas(
         ],
     )
 
-    def _squeeze(bt, clen, q_ref, k_hbm, v_hbm, kb_ref, vb_ref, m_ref, o_ref, *scr):
+    def _squeeze(bt, clen, q_ref, k_hbm, v_hbm, *rest):
+        if scaled:
+            ks_ref, vs_ref, kb_ref, vb_ref, m_ref, o_ref = rest[:6]
+            scr = rest[6:]
+            ks, vs = ks_ref.at[0, 0], vs_ref.at[0, 0]
+        else:
+            kb_ref, vb_ref, m_ref, o_ref = rest[:4]
+            scr = rest[4:]
+            ks = vs = None
         _kernel(
-            bt, clen, q_ref.at[0, 0], k_hbm, v_hbm, kb_ref.at[0, 0],
+            bt, clen, q_ref.at[0, 0], k_hbm, v_hbm, ks, vs, kb_ref.at[0, 0],
             vb_ref.at[0, 0], m_ref.at[0], o_ref.at[0, 0], *scr,
-            page=page_size, T=T, G=gpt, pp=pp,
+            page=page_size, T=T, G=gpt, scaled=scaled, flat=flat, pp=pp,
         )
 
     out = pl.pallas_call(
@@ -305,7 +355,6 @@ def spec_attention_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KH, GT, D), q.dtype),
         interpret=interpret,
-    )(block_tables.astype(jnp.int32), cache_lens.astype(jnp.int32),
-      qr, k_cache_l, v_cache_l, kb, vb, mask8)
+    )(*args)
 
     return out.reshape(B, KH, G, T, D).transpose(0, 3, 1, 2, 4).reshape(B, T, NH, D)

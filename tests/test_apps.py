@@ -211,3 +211,52 @@ def test_chat_web_streams(tmp_path):
         assert text == tok.decode(want)
     finally:
         server.shutdown()
+
+
+def test_bench_schema_matches_golden(tmp_path):
+    """Pin the bench driver's CSV / generations-JSONL / summary-JSON schemas
+    against a golden file (tests/data/golden_bench_schema.json) so silent
+    schema drift fails loudly.  The CSV column set mirrors the reference's
+    per-example profile (jacobi_forcing_inference_humaneval.py:203-219 writes
+    the same quantities); evalchemy consumers parse the JSONL keys."""
+    golden = json.load(
+        open(os.path.join(os.path.dirname(__file__), "data",
+                          "golden_bench_schema.json"))
+    )
+
+    args = bench_generate.make_parser().parse_args([])
+    args.strategy = "jacobi"
+    args.n_token_seq_len = 8
+    args.max_blocks = 1
+    args.max_new_tokens = 16
+    args.output_dir = str(tmp_path)
+    args.limit = 2
+    args.synthetic_prompt_len = 12
+    agg, _ = bench_generate.run(args, engine=make_engine(), tokenizer=None)
+
+    with open(tmp_path / "profile_jacobi.csv") as f:
+        header = f.readline().strip().split(",")
+    assert header == golden["profile_csv_columns"]
+
+    gens = [json.loads(l) for l in open(tmp_path / "generations_jacobi.jsonl")]
+    for g in gens:
+        assert list(g.keys()) == golden["generations_keys_no_tokenizer"]
+
+    summary = json.load(open(tmp_path / "summary_jacobi.json"))
+    assert list(summary.keys()) == golden["summary_keys"]
+    assert list(agg.keys()) == golden["summary_keys"]
+
+    # tokenizer path adds the evalchemy text fields in a pinned order
+    tok = FakeChatTokenizer()
+    args.output_dir = str(tmp_path / "tok")
+    args.dataset_format = "humaneval"
+    args.dataset = os.path.join(
+        os.path.dirname(__file__), "data", "humaneval_smoke.jsonl"
+    )
+    bench_generate.run(args, engine=make_engine(), tokenizer=tok)
+    gens = [
+        json.loads(l)
+        for l in open(tmp_path / "tok" / "generations_jacobi.jsonl")
+    ]
+    for g in gens:
+        assert list(g.keys()) == golden["generations_keys_with_tokenizer"]

@@ -275,3 +275,48 @@ def test_prefill_tiled_fp8_scales(monkeypatch):
         interpret=True, k_scale_l=ks, v_scale_l=vs,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_spec_kernel_scaled_kv():
+    """MR speculative kernel with per-row fp8/int8-KV dequant scales folded
+    into scores/probabilities == the scaled XLA paged_attention_with_block
+    (closes the round-2 gap where scaled-KV MR fell off the kernel onto the
+    dense-gather path)."""
+    from jacobiforcing_tpu.ops.attention import paged_attention_with_block
+    from jacobiforcing_tpu.ops.pallas.spec_attention import spec_attention_pallas
+
+    r = np.random.RandomState(3)
+    B, NH, KH, D = 2, 4, 2, 128
+    S, N = 3, 4
+    T = S * N
+    num_pages, pages_per_seq = 16, 6
+    q = jnp.asarray(r.randn(B, T, NH, D), jnp.float32)
+    k = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    v = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    ks = jnp.asarray(0.5 + r.rand(KH, num_pages * PAGE), jnp.float32)
+    vs = jnp.asarray(0.5 + r.rand(KH, num_pages * PAGE), jnp.float32)
+    k_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    v_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    bt = np.zeros((B, pages_per_seq), np.int32)
+    for b in range(B):
+        bt[b] = np.arange(b * pages_per_seq, (b + 1) * pages_per_seq)
+    bt = jnp.asarray(bt)
+    cache_lens = jnp.asarray([37, 80], jnp.int32)
+
+    seg = np.repeat(np.arange(S), N)
+    idx = np.tile(np.arange(N), S)
+    sees = ((seg[:, None] == seg[None, :]) & (idx[None, :] <= idx[:, None])) | (
+        (seg[:, None] == 2) & (seg[None, :] == 0)
+    )
+    intra = jnp.asarray(np.broadcast_to(sees, (B, T, T)).copy())
+
+    scale = 1.0 / np.sqrt(D)
+    ref = paged_attention_with_block(
+        q, k, v, bt, cache_lens, k_new, v_new, intra, scale, page_size=PAGE,
+        k_scale_l=ks, v_scale_l=vs,
+    )
+    out = spec_attention_pallas(
+        q, k, v, bt, cache_lens, k_new, v_new, intra, scale,
+        page_size=PAGE, interpret=True, k_scale_l=ks, v_scale_l=vs,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

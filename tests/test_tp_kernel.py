@@ -166,3 +166,36 @@ def test_tp_fallback_when_shapes_dont_divide(pallas_interpret_env):
     out = paged_attention(
         q, k, v, bt, cache_lens, positions, 0.2, page_size=PAGE)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_spec_attention_tp_scaled_kv(pallas_interpret_env):
+    """Scaled-KV (fp8/int8 per-row dequant) MR spec kernel under the mesh:
+    the shard_map path must carry the scale planes over the "model" axis."""
+    mesh = make_mesh(tensor_parallel_size=2, data_parallel_size=2)
+
+    r = np.random.RandomState(11)
+    B, KH, G, D, T = 4, 4, 2, 128, 6
+    NH = KH * G
+    q, k, v, bt = _setup(B, NH, KH, D, T, pages_per_seq=4, seed=11)
+    num_slots = k.shape[1]
+    ks = jnp.asarray(0.5 + r.rand(KH, num_slots), jnp.float32)
+    vs = jnp.asarray(0.5 + r.rand(KH, num_slots), jnp.float32)
+    cache_lens = jnp.asarray([30, 55, 41, 64], jnp.int32)
+    k_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    v_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    intra = jnp.asarray(np.tril(np.ones((T, T), bool))[None].repeat(B, 0))
+    scale = 1.0 / np.sqrt(D)
+
+    import os
+
+    set_serving_mesh(None)  # XLA reference path, unsharded
+    os.environ["JF_ATTN_IMPL"] = "xla"
+    ref = paged_attention_with_block(
+        q, k, v, bt, cache_lens, k_new, v_new, intra, scale, page_size=PAGE,
+        k_scale_l=ks, v_scale_l=vs)
+    os.environ["JF_ATTN_IMPL"] = "pallas"
+    set_serving_mesh(mesh)
+    out = paged_attention_with_block(
+        q, k, v, bt, cache_lens, k_new, v_new, intra, scale, page_size=PAGE,
+        k_scale_l=ks, v_scale_l=vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
