@@ -102,6 +102,24 @@ class LLMEngine:
             config.eos = tokenizer.eos_token_id
         self.rope = rope_table(model_cfg)
 
+        # Flat-softmax calibration: measure this model's attention-logit
+        # range BEFORE any decode-path compile so the Pallas kernels pick the
+        # flat (fast) softmax only when it is exact for these weights (sharp
+        # induction heads of trained Jacobi checkpoints measure 5x past the
+        # flat cap — ops/calibrate.py).  Skipped on CPU backends (XLA path)
+        # and when JF_PA_SOFTMAX forces a choice.
+        self.flat_softmax_bound = None
+        if (
+            os.environ.get("JF_PA_CALIBRATE", "1") != "0"
+            and os.environ.get("JF_PA_SOFTMAX", "auto") == "auto"
+            and jax.default_backend() not in ("cpu",)
+        ):
+            from jacobiforcing_tpu.ops.calibrate import calibrate_flat_softmax
+
+            self.flat_softmax_bound = calibrate_flat_softmax(
+                params, model_cfg, self.rope
+            )
+
         if kv_dtype is None and config.kv_cache_dtype:
             kv_dtype = {
                 "fp8": jnp.float8_e4m3fn,

@@ -205,6 +205,9 @@ def paged_attention_with_block(
         if impl == "pallas" or jax.default_backend() not in ("cpu",):
             import functools
 
+            from jacobiforcing_tpu.ops.pallas.paged_attention import (
+                flat_enabled,
+            )
             from jacobiforcing_tpu.ops.pallas.spec_attention import (
                 spec_attention_pallas,
             )
@@ -213,6 +216,7 @@ def paged_attention_with_block(
             local = functools.partial(
                 spec_attention_pallas, scale=scale, page_size=page_size,
                 interpret=_interpret(),
+                softmax="flat" if flat_enabled() else "online",
             )
             mesh, xla_fallback = _serving_mesh_for(q, k_cache_l)
             if mesh is not None:
@@ -306,12 +310,17 @@ def paged_attention(
                 import functools
 
                 from jacobiforcing_tpu.ops.pallas.paged_attention import (
+                    flat_enabled,
                     paged_attention_pallas,
                 )
 
                 local = functools.partial(
                     paged_attention_pallas, scale=scale, page_size=page_size,
                     interpret=_interpret(),
+                    # resolve the calibrated softmax policy HERE (dispatch is
+                    # re-traced per runner bucket) so the jitted kernel's
+                    # cache is keyed by the explicit static choice
+                    softmax="flat" if flat_enabled() else "online",
                 )
                 mesh, xla_fallback = _serving_mesh_for(q, k_cache_l)
                 if mesh is not None:

@@ -77,12 +77,12 @@ MAX_Q_ROWS = int(_os.environ.get("JF_PA_MAXROWS", "2048"))
 # 1.39 us/tile vs a 0.77 us/tile DMA+dot skeleton, and the gap is the online-
 # softmax bookkeeping — two cross-lane reductions over [GL, tile] f32 plus
 # the alpha rescale).
-#   "flat"   (default): scores ride the exp2 domain already (scale*log2e is
-#            folded into q), so exp2 needs no running max for safety as long
-#            as scores stay below the f32 overflow point 2^128: p =
-#            exp2(min(s, 100)) is exact-softmax up to rounding whenever every
-#            score < 100 in the exp2 domain (= 69 nats — attention logits of
-#            real checkpoints sit one order below).  The denominator rides
+#   "flat"   scores ride the exp2 domain already (scale*log2e is folded into
+#            q), so exp2 needs no running max for safety as long as every
+#            score stays below the 100-exp2-unit cap (= 69 nats) AND every
+#            row's max stays above the f32 underflow floor — true for models
+#            with ordinary logit ranges, verified per model by calibration
+#            (see below).  The denominator rides
 #            the MXU: each tile's probabilities are dotted with a resident
 #            ones block ([tile, 128], one extra MXU pass per tile) into a
 #            [GL, 128] f32 accumulator whose column 0 is l_i — no per-tile
@@ -92,11 +92,56 @@ MAX_Q_ROWS = int(_os.environ.get("JF_PA_MAXROWS", "2048"))
 #            The denominator consumes the same cast-to-q-dtype probabilities
 #            as the numerator, so out stays an exact convex combination of
 #            the v rows under the actually-used weights.
-#   "online" safe rescaling online softmax (flash-attention update); keep for
-#            A/B and for hypothetical >69-nat logit regimes.
-_SOFTMAX = _os.environ.get("JF_PA_SOFTMAX", "flat")
+#   "online" safe rescaling online softmax (flash-attention update); used for
+#            models whose measured logit range exceeds the flat-safe bound.
+#
+# SELECTION IS CALIBRATED, NOT ASSUMED (round-3 finding): the in-repo TRAINED
+# checkpoint measures max |score| = 520 exp2-units (scripts/
+# probe_w8a8_and_flatcap.py) — sharp-attention heads (induction/copy heads)
+# blow far past the 100-unit cap, where flat saturates (all p -> 2^100) and
+# can even underflow whole rows.  Policy (JF_PA_SOFTMAX):
+#   "auto" (default): flat iff a calibration bound has been recorded via
+#       set_flat_softmax_bound() and it is <= _FLAT_CAP/2 (2x runtime margin);
+#       otherwise online.  LLMEngine calibrates at init (before any compile);
+#       bench.py calibrates its random-weight model the same way.
+#   "flat" / "online": force.  Calibration must happen before the first
+#       compile of a shape — the choice is baked into each cached executable.
+_SOFTMAX = _os.environ.get("JF_PA_SOFTMAX", "auto")
 _FLAT_CAP = 100.0  # exp2-domain score clamp: 2^100 * 512 keys << f32 max
 _LSUM_W = 128  # lane width of the ones block / l accumulator
+
+_FLAT_BOUND = None  # calibrated max |score| in exp2 units (None = unknown)
+
+
+def set_flat_softmax_bound(bound: float) -> None:
+    """Record a measured upper bound on |attention score| (exp2 domain) for
+    the model about to be served; drives the "auto" softmax policy."""
+    global _FLAT_BOUND
+    _FLAT_BOUND = float(bound)
+
+
+def get_flat_softmax_bound():
+    return _FLAT_BOUND
+
+
+def flat_enabled() -> bool:
+    """Whether the flat (no-running-max) softmax is safe for the current
+    model.  Evaluated at trace time — calibrate before compiling."""
+    mode = _os.environ.get("JF_PA_SOFTMAX", _SOFTMAX)
+    if mode == "flat":
+        return True
+    if mode == "online":
+        return False
+    return _FLAT_BOUND is not None and _FLAT_BOUND <= _FLAT_CAP / 2
+
+
+def _resolve_flat(softmax) -> bool:
+    """Resolve an explicit softmax choice ("flat"/"online") or fall back to
+    the calibrated policy.  Kernels take `softmax` as a STATIC argument so
+    different choices never collide in the jit cache."""
+    if softmax in (None, "auto"):
+        return flat_enabled()
+    return softmax == "flat"
 
 
 def _flat_ok(rows: int, tile: int, D: int, kv_itemsize: int, q_itemsize: int) -> bool:
@@ -174,7 +219,7 @@ def _kernel(
     if pp is None:
         pp = _PP
     if flat is None:
-        flat = _SOFTMAX == "flat"
+        flat = flat_enabled()
     if flat:
         ones_blk, lsum = softmax_scratch
     else:
@@ -368,7 +413,7 @@ def _kernel_fused(
     if pp is None:
         pp = _PP
     if flat is None:
-        flat = _SOFTMAX == "flat"
+        flat = flat_enabled()
     if flat:
         ones_blk, lsum = softmax_scratch
         ones_blk[...] = jnp.ones_like(ones_blk)  # once per program, all heads
@@ -521,7 +566,7 @@ def _kernel_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "page_size", "interpret")
+    jax.jit, static_argnames=("scale", "page_size", "interpret", "softmax")
 )
 def paged_attention_pallas(
     q: jax.Array,  # [B, L, NH, D]
@@ -536,6 +581,7 @@ def paged_attention_pallas(
     interpret: bool = False,
     k_scale_l=None,  # [KH, num_slots] fp32 (fp8 KV row scales)
     v_scale_l=None,
+    softmax: str = None,  # None/"auto" = calibrated policy; "flat"/"online"
 ) -> jax.Array:
     scale = float(scale)
     B, L, NH, D = q.shape
@@ -550,7 +596,7 @@ def paged_attention_pallas(
         return _prefill_tiled(
             q, k_cache_l, v_cache_l, block_tables, cache_lens, positions,
             scale, page_size=page_size, interpret=interpret,
-            k_scale_l=k_scale_l, v_scale_l=v_scale_l,
+            k_scale_l=k_scale_l, v_scale_l=v_scale_l, softmax=softmax,
         )
 
     # [B, L, KH, G, D] -> [B, KH, G*L, D] with row r = g*L + i.  Fold the
@@ -565,7 +611,7 @@ def paged_attention_pallas(
     # corrupts softmax whenever any exp2-domain score exceeds it (the fp8
     # stress test drives +-48-magnitude values straight through that).
     flat = (
-        _SOFTMAX == "flat"
+        _resolve_flat(softmax)
         and not scaled
         and _flat_ok(
             GL, pp * page_size, D, k_cache_l.dtype.itemsize, q.dtype.itemsize
@@ -681,6 +727,7 @@ def _prefill_tiled(
     interpret: bool = False,
     k_scale_l=None,
     v_scale_l=None,
+    softmax: str = None,
 ) -> jax.Array:
     """Query-tiled flash prefill over the paged cache.
 
@@ -717,7 +764,7 @@ def _prefill_tiled(
     # stream is MXU-bound anyway
     pp = 2
     flat = (
-        _SOFTMAX == "flat"
+        _resolve_flat(softmax)
         and not scaled  # see the decode dispatcher: scaled KV stays online
         and _flat_ok(
             GQT, pp * page_size, D, k_cache_l.dtype.itemsize, q.dtype.itemsize

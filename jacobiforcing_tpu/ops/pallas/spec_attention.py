@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from jacobiforcing_tpu.ops.pallas.paged_attention import (
-    _FLAT_CAP, _NBUF, _PP, _SOFTMAX, _flat_ok, _pick_pp,
+    _FLAT_CAP, _NBUF, _PP, _flat_ok, _pick_pp, flat_enabled,
 )
 
 _NEG_INF = -1e30
@@ -82,7 +82,7 @@ def _kernel(
     if pp is None:
         pp = _PP
     if flat is None:
-        flat = _SOFTMAX == "flat"
+        flat = flat_enabled()
     if flat:
         p_sum, l_i = softmax_scratch
     else:
@@ -239,7 +239,9 @@ def _kernel(
     o_ref[...] = (acc[...] / jnp.maximum(l_i[...], 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "page_size", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "page_size", "interpret", "softmax")
+)
 def spec_attention_pallas(
     q: jax.Array,  # [B, T, NH, D]
     k_cache_l: jax.Array,  # [KH, num_slots, D]
@@ -255,6 +257,7 @@ def spec_attention_pallas(
     k_scale_l: jax.Array = None,  # [KH, num_slots] f32 dequant rows (fp8/int8 KV)
     v_scale_l: jax.Array = None,
     interpret: bool = False,
+    softmax: str = None,  # None/"auto" = calibrated policy; "flat"/"online"
 ) -> jax.Array:
     scale = float(scale)
     B, T, NH, D = q.shape
@@ -279,7 +282,9 @@ def spec_attention_pallas(
     kv_isz = k_cache_l.dtype.itemsize
     if pp > 2 and not _flat_ok(rows, pp * page_size, D, kv_isz, q.dtype.itemsize):
         pp = 2
-    flat = _SOFTMAX == "flat" and _flat_ok(
+    from jacobiforcing_tpu.ops.pallas.paged_attention import _resolve_flat
+
+    flat = _resolve_flat(softmax) and _flat_ok(
         rows, pp * page_size, D, kv_isz, q.dtype.itemsize
     )
 

@@ -85,7 +85,7 @@ for ctx in (256, 512, 1024, 2048, 4096, 8192):
 
     def raw_call(qr, k, v, bt, clen, qs):
         scratch = pa._scratch_shapes(
-            GL, D, pa._PP * PAGE, k.dtype, pa._SOFTMAX == "flat"
+            GL, D, pa._PP * PAGE, k.dtype, pa.flat_enabled()
         )
         if fused:
             grid_spec = pltpu.PrefetchScalarGridSpec(

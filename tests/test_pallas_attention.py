@@ -23,11 +23,12 @@ def _setup(B=2, L=4, NH=4, KH=2, D=32, pages_per_seq=6, num_pages=16, seed=0):
     return q, k, v, jnp.asarray(bt)
 
 
+@pytest.mark.parametrize("softmax", ["flat", "online"])
 @pytest.mark.parametrize("L,cache0,cache1", [
     (4, 37, 80),   # jacobi block, ragged tails
     (1, 17, 65),   # AR decode
 ])
-def test_kernel_matches_xla(L, cache0, cache1):
+def test_kernel_matches_xla(L, cache0, cache1, softmax):
     q, k, v, bt = _setup(L=L)
     cache_lens = jnp.asarray([cache0, cache1], jnp.int32)
     positions = (cache_lens - L)[:, None] + jnp.arange(L)[None, :]
@@ -35,7 +36,8 @@ def test_kernel_matches_xla(L, cache0, cache1):
 
     ref = paged_attention_xla(q, k, v, bt, cache_lens, positions, scale, page_size=PAGE)
     out = paged_attention_pallas(
-        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE, interpret=True
+        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE,
+        interpret=True, softmax=softmax,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
@@ -147,11 +149,13 @@ def test_spec_kernel_matches_with_block_xla():
     ref = paged_attention_with_block(
         q, k, v, bt, cache_lens, k_new, v_new, intra, scale, page_size=PAGE
     )
-    out = spec_attention_pallas(
-        q, k, v, bt, cache_lens, k_new, v_new, intra, scale,
-        page_size=PAGE, interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    for softmax in ("flat", "online"):
+        out = spec_attention_pallas(
+            q, k, v, bt, cache_lens, k_new, v_new, intra, scale,
+            page_size=PAGE, interpret=True, softmax=softmax,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
 def test_spec_kernel_group_tiled(monkeypatch):
@@ -241,7 +245,8 @@ def test_prefill_tiled_matches_xla(monkeypatch):
 
     ref = paged_attention_xla(q, k, v, bt, cache_lens, positions, scale, page_size=PAGE)
     out = paged_attention_pallas(
-        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE, interpret=True
+        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE,
+        interpret=True, softmax="flat",
     )
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
@@ -320,3 +325,33 @@ def test_spec_kernel_scaled_kv():
         page_size=PAGE, interpret=True, k_scale_l=ks, v_scale_l=vs,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+
+def test_softmax_policy_calibration(monkeypatch):
+    """The "auto" softmax policy is calibration-driven: flat only when the
+    recorded logit bound is measured-safe; env forcing wins; the calibration
+    utility records the bound it measures."""
+    from jacobiforcing_tpu.models.qwen import ModelConfig, init_params, rope_table
+    from jacobiforcing_tpu.ops.calibrate import calibrate_flat_softmax
+    from jacobiforcing_tpu.ops.pallas import paged_attention as pa
+
+    monkeypatch.setenv("JF_PA_SOFTMAX", "auto")
+    monkeypatch.setattr(pa, "_FLAT_BOUND", None)
+    assert not pa.flat_enabled()  # unknown range -> safe (online)
+    pa.set_flat_softmax_bound(10.0)
+    assert pa.flat_enabled()
+    pa.set_flat_softmax_bound(520.0)  # the measured demo-checkpoint range
+    assert not pa.flat_enabled()
+    monkeypatch.setenv("JF_PA_SOFTMAX", "flat")
+    assert pa.flat_enabled()
+    monkeypatch.setenv("JF_PA_SOFTMAX", "online")
+    assert not pa.flat_enabled()
+    assert pa._resolve_flat("flat") and not pa._resolve_flat("online")
+
+    monkeypatch.setenv("JF_PA_SOFTMAX", "auto")
+    cfg = ModelConfig.tiny(dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    bound = calibrate_flat_softmax(params, cfg, rope_table(cfg), T=32, B=1)
+    assert bound > 0.0
+    assert pa.get_flat_softmax_bound() == bound
