@@ -82,16 +82,16 @@ MAX_Q_ROWS = int(_os.environ.get("JF_PA_MAXROWS", "2048"))
 #            score stays below the 100-exp2-unit cap (= 69 nats) AND every
 #            row's max stays above the f32 underflow floor — true for models
 #            with ordinary logit ranges, verified per model by calibration
-#            (see below).  The denominator rides
-#            the MXU: each tile's probabilities are dotted with a resident
-#            ones block ([tile, 128], one extra MXU pass per tile) into a
-#            [GL, 128] f32 accumulator whose column 0 is l_i — no per-tile
-#            VPU p_sum add, no per-program cross-lane reduction, and the
-#            softmax state shrinks from [GL, tile] to [GL, 128] f32.
-#            Per-tile work drops to dot / min+exp2 / cast / dot / dot.
-#            The denominator consumes the same cast-to-q-dtype probabilities
-#            as the numerator, so out stays an exact convex combination of
-#            the v rows under the actually-used weights.
+#            (see below).  The denominator accumulates as an elementwise
+#            [rows, tile] f32 partial sum and cross-lane-reduces ONCE per
+#            program.  (An MXU variant — dotting each tile's probabilities
+#            with a resident [tile, 128] ones block — was tried and measured
+#            SLOWER on v5e: at D=128 the extra [GL,tile]@[tile,128] pass
+#            doubles the MXU work per tile, 74 -> 135 us at B=1/8k.  Folding
+#            a ones column into v has the same cost: any extra column is a
+#            full 128-lane MXU tile.  The VPU partial-sum add vectorizes and
+#            overlaps the dots; the single final reduction is per program,
+#            not per tile.)
 #   "online" safe rescaling online softmax (flash-attention update); used for
 #            models whose measured logit range exceeds the flat-safe bound.
 #
@@ -108,7 +108,6 @@ MAX_Q_ROWS = int(_os.environ.get("JF_PA_MAXROWS", "2048"))
 #       compile of a shape — the choice is baked into each cached executable.
 _SOFTMAX = _os.environ.get("JF_PA_SOFTMAX", "auto")
 _FLAT_CAP = 100.0  # exp2-domain score clamp: 2^100 * 512 keys << f32 max
-_LSUM_W = 128  # lane width of the ones block / l accumulator
 
 _FLAT_BOUND = None  # calibrated max |score| in exp2 units (None = unknown)
 
@@ -145,19 +144,17 @@ def _resolve_flat(softmax) -> bool:
 
 
 def _flat_ok(rows: int, tile: int, D: int, kv_itemsize: int, q_itemsize: int) -> bool:
-    """Whether the flat-softmax scratch fits scoped VMEM (16M on v5e).
+    """Whether the flat-softmax p_sum scratch fits scoped VMEM (16M on v5e).
 
-    Rough per-program estimate: DMA buffers + acc + lsum/ones + the
-    [rows, tile] f32 score temporary + q/out blocks, with headroom for
-    Mosaic's own temporaries.  Oversized cases (f32 caches at prefill scale)
-    fall back to the online-softmax kernel.
+    Rough per-program estimate: DMA buffers + acc + p_sum + the [rows, tile]
+    f32 score temporary + q/out blocks, with headroom for Mosaic's own
+    temporaries.  Oversized cases (f32 caches at prefill scale) fall back to
+    the online-softmax kernel.
     """
     scoped = (
         2 * _NBUF * tile * D * kv_itemsize  # kbuf + vbuf
         + rows * D * 4                      # acc
-        + rows * tile * 4                   # score temporary
-        + rows * _LSUM_W * 4                # lsum
-        + tile * _LSUM_W * q_itemsize       # ones block
+        + rows * tile * 4 * 2               # p_sum + score temporary
         + 2 * rows * D * q_itemsize         # q + out blocks
     )
     return scoped <= 11 * 2**20
@@ -181,10 +178,7 @@ def _scratch_shapes(
         pltpu.VMEM((GL, D), jnp.float32),  # acc
     ]
     if flat:
-        return base + [
-            pltpu.VMEM((tile, _LSUM_W), q_dtype),  # ones block (MXU rhs)
-            pltpu.VMEM((GL, _LSUM_W), jnp.float32),  # lsum accumulator
-        ]
+        return base + [pltpu.VMEM((GL, tile), jnp.float32)]  # p_sum
     return base + [
         pltpu.VMEM((GL, 1), jnp.float32),  # m_i
         pltpu.VMEM((GL, 1), jnp.float32),  # l_i
@@ -221,7 +215,7 @@ def _kernel(
     if flat is None:
         flat = flat_enabled()
     if flat:
-        ones_blk, lsum = softmax_scratch
+        (p_sum,) = softmax_scratch
     else:
         m_i, l_i = softmax_scratch
     b = pl.program_id(0)
@@ -274,8 +268,7 @@ def _kernel(
 
     acc[...] = jnp.zeros_like(acc)
     if flat:
-        ones_blk[...] = jnp.ones_like(ones_blk)
-        lsum[...] = jnp.zeros_like(lsum)
+        p_sum[...] = jnp.zeros_like(p_sum)
     else:
         m_i[...] = jnp.full_like(m_i, _NEG_INF)
         l_i[...] = jnp.zeros_like(l_i)
@@ -305,22 +298,13 @@ def _kernel(
             def update(sv):
                 # masked scores are -1e30 -> exp2 underflows to exactly 0
                 p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
-                pt = p_ij.astype(q.dtype)
+                p_sum[...] += p_ij
                 if scaled:
                     # dequant V folded into the probabilities:
-                    # p @ (v_q * vs) == (p * vs) @ v_q  (the denominator uses
-                    # true p — a separate cast without the V scale)
+                    # p @ (v_q * vs) == (p * vs) @ v_q  (p_sum uses true p)
                     pv = (p_ij * vs_ref[:, pl.ds(t * tile, tile)]).astype(q.dtype)
                 else:
-                    pv = pt
-                # denominator on the MXU: p . ones accumulates l_i in every
-                # lane of lsum (column 0 read at the end) — replaces the
-                # [GL, tile] f32 VPU partial-sum add + final cross-lane reduce
-                lsum[...] += lax.dot_general(
-                    pt, ones_blk[...],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                    pv = p_ij.astype(q.dtype)
                 acc[...] += lax.dot_general(
                     pv, v,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -369,8 +353,8 @@ def _kernel(
 
     lax.fori_loop(jnp.int32(0), ntiles, body, 0)
     if flat:
-        # every lsum lane holds the full denominator (ones rhs); no reduce
-        l = lsum[:, :1]
+        # one cross-lane reduction for the whole program
+        l = jnp.sum(p_sum[...], axis=1, keepdims=True)
     else:
         l = l_i[...]
     o_ref[...] = (acc[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
@@ -415,8 +399,7 @@ def _kernel_fused(
     if flat is None:
         flat = flat_enabled()
     if flat:
-        ones_blk, lsum = softmax_scratch
-        ones_blk[...] = jnp.ones_like(ones_blk)  # once per program, all heads
+        (p_sum,) = softmax_scratch
     else:
         m_i, l_i = softmax_scratch
     b = pl.program_id(0)
@@ -472,7 +455,7 @@ def _kernel_fused(
         def _():
             acc[...] = jnp.zeros_like(acc)
             if flat:
-                lsum[...] = jnp.zeros_like(lsum)
+                p_sum[...] = jnp.zeros_like(p_sum)
             else:
                 m_i[...] = jnp.full_like(m_i, _NEG_INF)
                 l_i[...] = jnp.zeros_like(l_i)
@@ -491,7 +474,7 @@ def _kernel_fused(
         if flat:
             def update(sv):
                 p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
-                pt = p_ij.astype(q.dtype)
+                p_sum[...] += p_ij
                 if scaled:
                     pv = (
                         p_ij
@@ -499,12 +482,7 @@ def _kernel_fused(
                         .reshape(1, tile)
                     ).astype(q.dtype)
                 else:
-                    pv = pt
-                lsum[...] += lax.dot_general(
-                    pt, ones_blk[...],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                    pv = p_ij.astype(q.dtype)
                 acc[...] += lax.dot_general(
                     pv, v,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -551,7 +529,7 @@ def _kernel_fused(
         @pl.when(tt == ntiles - 1)
         def _():
             if flat:
-                l = lsum[:, :1]
+                l = jnp.sum(p_sum[...], axis=1, keepdims=True)
             else:
                 l = l_i[...]
             o_ref[pl.ds(h, 1)] = (
