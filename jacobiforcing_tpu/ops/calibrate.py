@@ -60,11 +60,14 @@ def max_attn_score_exp2(
     )
     exp2_scale = (cfg.head_dim ** -0.5) * math.log2(math.e)
     G = cfg.num_heads // cfg.num_kv_heads
-    lp = params["layers"]
     mm_ = _make_mm(cfg)
 
+    # params ride as a jit ARGUMENT: a closure would bake multi-GB weights
+    # into the lowered module as constants (7.6 GB at 7B dims — minutes of
+    # lowering + duplicated HBM).
     @jax.jit
-    def run(ids):
+    def run(params, ids):
+        lp = params["layers"]
         x = params["embed"].astype(cfg.dtype)[ids]
 
         def layer_body(carry, w):
@@ -108,7 +111,7 @@ def max_attn_score_exp2(
         (_, mx), _ = jax.lax.scan(layer_body, (x, jnp.float32(0.0)), lp)
         return mx
 
-    return float(np.asarray(run(ids)))
+    return float(np.asarray(run(params, ids)))
 
 
 def calibrate_flat_softmax(params, cfg, rope, ids=None, **kw) -> float:
