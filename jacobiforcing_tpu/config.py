@@ -65,6 +65,13 @@ class Config:
     # Tokens committed per device-side Jacobi segment before control returns to
     # the host scheduler (admission/retirement).  Larger = fewer host syncs.
     jacobi_chunk_tokens: int = 256
+    # > 0: iteration-budget chunking for the greedy Jacobi path — each device
+    # segment runs exactly this many while-loop trips and EVERY unfinished row
+    # participates in every trip (no per-row token budget inside the chunk).
+    # Removes the batch-occupancy loss of token-budget chunking under
+    # tokens-per-forward variance (measured 0.45 -> ~1.0 at B=8); tokens
+    # committed per chunk become variable (<= chunk_iters * block_len).
+    jacobi_chunk_iters: int = 0
 
     enforce_eager: bool = False
     seed: int = 0

@@ -584,6 +584,7 @@ class LLMEngine:
                 jnp.asarray(max_new), self._next_key(), eos_id,
                 jnp.asarray(max_iters_arr),
                 chunk_budget=self.config.jacobi_chunk_tokens,
+                chunk_iters=self.config.jacobi_chunk_iters,
             )
         self.kv = res["kv"]
         tokens_out = np.asarray(res["tokens"])

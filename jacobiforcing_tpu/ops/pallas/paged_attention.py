@@ -602,7 +602,7 @@ def paged_attention_pallas(
     # (B, KH) grid already amortizes it and per-head programs win).  Needs
     # all heads' q rows resident in VMEM.
     fused = (
-        B * KH <= 8
+        B * KH <= int(_os.environ.get("JF_PA_FUSEH_MAX", "8"))
         and KH * GL <= MAX_Q_ROWS
         and _os.environ.get("JF_PA_FUSEH", "1") != "0"
     )

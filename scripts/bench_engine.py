@@ -49,11 +49,22 @@ params = init_quantized_params(mc, jax.random.PRNGKey(0))
 # underfilled batch and the number misrepresents steady-state serving.
 R = int(os.environ.get("JF_BENCH_REQUESTS", str(4 * B)))
 
+# Sub-B batch buckets matter for ENGINE throughput even though steady-state
+# decode always runs the full batch: backfill prefills admit 1-3 requests at
+# a time (a (2,)-bucket prefill is 4x cheaper than padding to 8), and the
+# drain tail decodes a shrinking batch (a 2-row trip is ~4x cheaper than an
+# 8-padded one).  Each bucket is one warmed executable, persisted by the XLA
+# compilation cache across processes.
+bbs = tuple(b for b in (2, 4, 8, 16, 32) if b < B) + (B,)
 cfg = Config(
     max_model_len=int(os.environ.get("JF_BENCH_MAXLEN", "8192")),
     max_num_seqs=B,
     jacobi_chunk_tokens=int(os.environ.get("JF_BENCH_CHUNK", "128")),
-    batch_buckets=(B,),
+    # iteration-budget chunking: every unfinished row runs every device trip
+    # (token-budget chunks idle fast rows once they hit the budget — measured
+    # occupancy 0.45 at B=8 under random-weight TPF variance)
+    jacobi_chunk_iters=int(os.environ.get("JF_BENCH_CHUNK_ITERS", "16")),
+    batch_buckets=bbs,
     prefill_token_buckets=(PROMPT_LEN + 64,),
     eos=-1,
 )
@@ -73,7 +84,9 @@ sp = SamplingParams(
     jacobi_max_iterations=1 << 20,
 )
 
-# Warmup run compiles the prefill + decode buckets.
+# Precompile every (bucket, strategy) executable through the real scheduler
+# path so the measured run never compiles (persistent-cached across runs).
+eng.warmup(strategies=("jacobi",), block_lens=(64,))
 eng.generate(prompts[:B], sp, use_tqdm=False)
 
 if os.environ.get("PROFILE", "0") == "1":
@@ -81,19 +94,43 @@ if os.environ.get("PROFILE", "0") == "1":
 
     profiling.reset_profiler()
 
+# Manual step loop (what generate() does) so we can timestamp every engine
+# step and window out the DRAIN TAIL: once fewer than B requests remain
+# unfinished there is nothing left to backfill with, and the shrinking batch
+# measures the bench's finite request list, not the engine.  Steady state =
+# from the first step until remaining unfinished < B.
+seqs = [eng.add_request(p, s) for p, s in zip(prompts, [sp] * R)]
 t0 = time.perf_counter()
 it0 = eng.stats["jacobi_iterations"]
 fw0 = eng.stats["chunk_forwards"]
-outs = eng.generate(prompts, sp, use_tqdm=False)
+timeline = []  # (t, iters, forwards, unfinished)
+while not eng.scheduler.is_finished:
+    eng.step()
+    timeline.append((
+        time.perf_counter() - t0,
+        eng.stats["jacobi_iterations"] - it0,
+        eng.stats["chunk_forwards"] - fw0,
+        sum(not s.is_finished for s in seqs),
+    ))
 dt = time.perf_counter() - t0
 iters = eng.stats["jacobi_iterations"] - it0
 forwards = eng.stats["chunk_forwards"] - fw0
-tokens = sum(len(o["token_ids"]) for o in outs)
+tokens = sum(len(s.completion_token_ids) for s in seqs)
+
+steady = [x for x in timeline if x[3] >= B]
+if steady:
+    t_ss, it_ss, fw_ss, _ = steady[-1]
+else:  # degenerate: R < B
+    t_ss, it_ss, fw_ss = dt, iters, forwards
 
 print(json.dumps({
     "metric": f"engine_tps_at_tpf4_7b_w8a8_B{B}",
-    "value": round(4.0 * iters / dt, 2),
+    "value": round(4.0 * it_ss / t_ss, 2),
     "unit": "tok/s",
+    "steady_window_s": round(t_ss, 3),
+    "steady_iters_per_s": round(it_ss / t_ss, 2),
+    "steady_occupancy": round(it_ss / max(fw_ss * B, 1), 3),
+    "overall_tps_at_tpf4": round(4.0 * iters / dt, 2),
     "iters_per_s": round(iters / dt, 2),
     "forwards": forwards,
     "ms_per_forward": round(1e3 * dt / max(forwards, 1), 2),

@@ -238,3 +238,24 @@ def test_compilation_cache_wiring(tmp_path, monkeypatch):
     # idempotent: second call keeps the already-registered dir
     assert plat.enable_compilation_cache("/elsewhere") == "/elsewhere"
     assert jax.config.jax_compilation_cache_dir == cache_dir
+
+
+def test_chunk_iters_mode_exact_match():
+    """Iteration-budget chunking (config.jacobi_chunk_iters > 0) commits the
+    exact same tokens as token-budget chunking — chunk boundaries are a
+    scheduling artifact, never a semantic one — and matches greedy AR."""
+    prompts = make_prompts(256, sizes=(5, 9, 17, 3, 12))
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=24, decode_strategy="jacobi",
+        jacobi_block_len=8, jacobi_max_blocks=1, jacobi_max_iterations=256,
+    )
+    tok_mode = make_engine().generate(prompts, sp)
+    for trips in (1, 3, 7):
+        it_mode = make_engine(jacobi_chunk_iters=trips).generate(prompts, sp)
+        for a, b in zip(tok_mode, it_mode):
+            assert a["token_ids"] == b["token_ids"]
+    ar = make_engine().generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=24)
+    )
+    for a, b in zip(ar, tok_mode):
+        assert a["token_ids"] == b["token_ids"]
