@@ -391,11 +391,21 @@ class LLMEngine:
             jnp.asarray(starts_a), jnp.asarray(totals_a), jnp.asarray(prompts_a),
             self.kv, bt, n_out=n_out,
         )
+        # `last_logits` is [B, vocab] fp32 (~5 MB at 7B dims) and only the AR
+        # sampling path below reads it; Jacobi rows use the tiny greedy draft.
+        # Skipping the dead readback saves a multi-MB tunnel transfer on every
+        # backfill prefill in Jacobi serving.
+        need_logits = any(
+            not s.sampling_params.decode_strategy.startswith("jacobi")
+            for s in seqs
+        )
+        if need_logits:
+            last_logits, draft = jax.device_get((last_logits, draft))
+            last_logits = np.asarray(last_logits, np.float32)
+        else:
+            draft = jax.device_get(draft)
         if prof:
-            last_logits.block_until_ready()
             prof.stop("prefill.forward")
-        last_logits = np.asarray(last_logits, np.float32)
-        draft = np.asarray(draft)
         self.stats["prefill_tokens"] += sum(len(x) for x in suffixes)
 
         for i, s in enumerate(seqs):
@@ -587,11 +597,15 @@ class LLMEngine:
                 chunk_iters=self.config.jacobi_chunk_iters,
             )
         self.kv = res["kv"]
-        tokens_out = np.asarray(res["tokens"])
-        cur_out = np.asarray(res["cur_len"])
-        iters_out = np.asarray(res["iters"])
-        draft_out = np.asarray(res["draft"])
-        gen = np.asarray(res["generated"])
+        # ONE batched transfer: each fresh per-array readback pays a full
+        # host<->device round trip (~30 ms over the TPU tunnel), so five
+        # sequential np.asarray calls cost ~150 ms per engine step — measured
+        # as the bulk of the engine-vs-raw-runner throughput gap
+        # (scripts/probe_host_boundary.py, probe_engine_shapes.py).
+        tokens_out, cur_out, iters_out, draft_out, gen = jax.device_get(
+            (res["tokens"], res["cur_len"], res["iters"], res["draft"],
+             res["generated"])
+        )
         if prof:
             prof.stop("forward")
             prof.add_tokens(int(gen[: len(seqs)].sum()))
@@ -702,16 +716,18 @@ class LLMEngine:
             chunk_budget=self.config.jacobi_chunk_tokens,
         )
         self.kv = res["kv"]
-        toks = np.asarray(res["tokens"])
-        cur_out = np.asarray(res["cur_len"])
-        iters_out = np.asarray(res["iters"])
-        gen = np.asarray(res["generated"])
+        # one batched transfer (fresh per-array readbacks each pay a tunnel RTT)
+        host = jax.device_get({k: v for k, v in res.items() if k != "kv"})
+        toks = host["tokens"]
+        cur_out = host["cur_len"]
+        iters_out = host["iters"]
+        gen = host["generated"]
         if prof:
             prof.stop("forward")
             prof.add_tokens(int(gen[: len(seqs)].sum()))
             prof.add_iteration(int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum()))
         per_seq = {
-            k: np.asarray(res[k])
+            k: host[k]
             for k in ("blk_draft", "blk_dlen", "blk_acc", "blk_acc_toks",
                       "blk_base", "blk_active", "ra", "n_active", "pool",
                       "pool_len", "pool_next", "last_next")
@@ -727,7 +743,7 @@ class LLMEngine:
         self.stats["jacobi_iterations"] += int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum())
         self.stats["chunk_calls"] += 1
         for name, n in zip(("mr_full", "mr_nocand", "mr_ra_only"),
-                           np.asarray(res["tiers"]).tolist()):
+                           host["tiers"].tolist()):
             self.stats[name] = self.stats.get(name, 0) + int(n)
 
     # ------------------------------------------------------------------
@@ -788,12 +804,11 @@ class LLMEngine:
             greedy_mode=greedy_mode, accept_threshold=accept_threshold,
         )
         self.kv = res["kv"]
-        tokens_out = np.asarray(res["tokens"])
-        cur_out = np.asarray(res["cur_len"])
-        iters_out = np.asarray(res["iters"])
-        fwds_out = np.asarray(res["fwds"])
-        stopped_out = np.asarray(res["stopped"])
-        traj_out = np.asarray(res["traj"])
+        # one batched transfer (fresh per-array readbacks each pay a tunnel RTT)
+        tokens_out, cur_out, iters_out, fwds_out, stopped_out, traj_out = (
+            jax.device_get((res["tokens"], res["cur_len"], res["iters"],
+                            res["fwds"], res["stopped"], res["traj"]))
+        )
 
         for i, s in enumerate(seqs):
             if not active[i]:

@@ -59,6 +59,12 @@ _PP_ENV = _os.environ.get("JF_PA_PP")
 _NBUF = int(_os.environ.get("JF_PA_NBUF", "3"))  # DMA pipeline depth
 # Back-compat default for probes that read module state directly.
 _PP = int(_PP_ENV) if _PP_ENV else 2
+# Intra-tile ILP split (flat softmax only): process each DMA tile as SPLIT
+# independent column chunks, each with its own score -> exp2 -> pv chain, so
+# Mosaic can overlap chunk c+1's score matmul (MXU) with chunk c's exp2/sum
+# (VPU).  The monolithic per-tile chain serializes the units: measured
+# 1.0 us/512-key tile vs ~0.3 MXU + ~0.2 VPU roofs.  1 = off.
+_SPLIT = int(_os.environ.get("JF_PA_SPLIT", "1"))
 
 
 def _pick_pp(B: int, P: int, page_size: int) -> int:
@@ -277,10 +283,81 @@ def _kernel(
     row = lax.broadcasted_iota(jnp.int32, (GL, 1), 0)
     qpos = qstart + lax.rem(row, jnp.int32(L))  # [GL, 1] absolute query positions
 
+    # Intra-tile ILP split: only the flat path qualifies (the online-softmax
+    # m_i/alpha chain is sequential across columns) and chunk widths must be
+    # whole lanes.
+    nsplit = _SPLIT if (flat and _SPLIT > 1 and tile % (_SPLIT * 128) == 0) else 1
+
     def body(t, _):
         slot = lax.rem(t, jnp.int32(_NBUF))
         for dma in tile_dmas(slot, t):
             dma.wait()
+
+        if nsplit > 1:
+            CW = tile // nsplit
+            is_full = ((t + 1) * tile <= qstart + 1) & ((t + 1) * tile <= clen)
+
+            def chunk_scores():
+                out = []
+                for c in range(nsplit):
+                    kc = kbuf[slot, pl.ds(c * CW, CW)].astype(q.dtype)
+                    sc = lax.dot_general(
+                        q, kc,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [GL, CW] f32, exp2 domain
+                    if scaled:
+                        sc = sc * ks_ref[:, pl.ds(t * tile + c * CW, CW)]
+                    out.append(sc)
+                return out
+
+            def update_chunks(svs):
+                # per-chunk exp2/p_sum (VPU) interleaves with the next
+                # chunk's pv matmul (MXU); one acc store at the end
+                parts = []
+                for c, sv in enumerate(svs):
+                    p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+                    p_sum[:, c * CW : (c + 1) * CW] += p_ij
+                    if scaled:
+                        pv = (
+                            p_ij * vs_ref[:, pl.ds(t * tile + c * CW, CW)]
+                        ).astype(q.dtype)
+                    else:
+                        pv = p_ij.astype(q.dtype)
+                    vc = vbuf[slot, pl.ds(c * CW, CW)].astype(q.dtype)
+                    parts.append(lax.dot_general(
+                        pv, vc,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ))
+                total = parts[0]
+                for p in parts[1:]:
+                    total = total + p
+                acc[...] += total
+
+            @pl.when(is_full)
+            def _():
+                update_chunks(chunk_scores())
+
+            @pl.when(~is_full)
+            def _():
+                svs = chunk_scores()
+                masked = []
+                for c, sv in enumerate(svs):
+                    key_abs = (
+                        t * tile + c * CW
+                        + lax.broadcasted_iota(jnp.int32, (GL, CW), 1)
+                    )
+                    mask = (key_abs <= qpos) & (key_abs < clen)
+                    masked.append(jnp.where(mask, sv, _NEG_INF))
+                update_chunks(masked)
+
+            @pl.when(t + _NBUF < ntiles)
+            def _():
+                for dma in tile_dmas(slot, t + _NBUF):
+                    dma.start()
+
+            return 0
 
         k = kbuf[slot].astype(q.dtype)  # [TILE, D] (cast covers f8/int8 KV)
         v = vbuf[slot].astype(q.dtype)

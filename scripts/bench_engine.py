@@ -30,6 +30,10 @@ import numpy as np
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 PROMPT_LEN = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 MAX_TOKENS = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+# Jacobi block length. 64 matches bench.py's headline; 32 is a reference
+# training config (n_token_seq_len=32) and nearly doubles the iteration rate
+# in the compute-bound batched regime (NOTES.md round-2 table).
+L = int(os.environ.get("JF_BENCH_L", "64"))
 
 import dataclasses
 
@@ -62,13 +66,16 @@ cfg = Config(
     jacobi_chunk_tokens=int(os.environ.get("JF_BENCH_CHUNK", "128")),
     # iteration-budget chunking: every unfinished row runs every device trip
     # (token-budget chunks idle fast rows once they hit the budget — measured
-    # occupancy 0.45 at B=8 under random-weight TPF variance)
-    jacobi_chunk_iters=int(os.environ.get("JF_BENCH_CHUNK_ITERS", "16")),
+    # occupancy 0.45 at B=8 under random-weight TPF variance).  8 trips per
+    # segment measured best (B=8/512: occupancy 0.958 @8 vs 0.882 @16 vs
+    # 0.730 @32 — finer chunks backfill finished slots sooner and the
+    # once-per-segment host sync is already amortized at 8).
+    jacobi_chunk_iters=int(os.environ.get("JF_BENCH_CHUNK_ITERS", "8")),
     batch_buckets=bbs,
     prefill_token_buckets=(PROMPT_LEN + 64,),
     eos=-1,
 )
-pages_per_seq = (PROMPT_LEN + MAX_TOKENS + 3 * 64) // cfg.kvcache_page_size + 1
+pages_per_seq = (PROMPT_LEN + MAX_TOKENS + 3 * L) // cfg.kvcache_page_size + 1
 eng = LLMEngine(
     cfg, model_cfg=mc, params=params,
     num_kv_pages=(B + 2) * pages_per_seq + 8,
@@ -80,13 +87,13 @@ prompts = [
 ]
 sp = SamplingParams(
     temperature=0.0, max_tokens=MAX_TOKENS, decode_strategy="jacobi",
-    jacobi_block_len=64, jacobi_max_blocks=1, ignore_eos=True,
+    jacobi_block_len=L, jacobi_max_blocks=1, ignore_eos=True,
     jacobi_max_iterations=1 << 20,
 )
 
 # Precompile every (bucket, strategy) executable through the real scheduler
 # path so the measured run never compiles (persistent-cached across runs).
-eng.warmup(strategies=("jacobi",), block_lens=(64,))
+eng.warmup(strategies=("jacobi",), block_lens=(L,))
 eng.generate(prompts[:B], sp, use_tqdm=False)
 
 if os.environ.get("PROFILE", "0") == "1":
@@ -124,7 +131,7 @@ else:  # degenerate: R < B
     t_ss, it_ss, fw_ss = dt, iters, forwards
 
 print(json.dumps({
-    "metric": f"engine_tps_at_tpf4_7b_w8a8_B{B}",
+    "metric": f"engine_tps_at_tpf4_7b_w8a8_B{B}_L{L}",
     "value": round(4.0 * it_ss / t_ss, 2),
     "unit": "tok/s",
     "steady_window_s": round(t_ss, 3),
