@@ -166,6 +166,31 @@ def main():
             extra["batch8_w8a8_tps_at_tpf4"] = round(batch8_w8a8_tps(), 2)
         except Exception as e:
             extra["batch8_error"] = str(e)[:120]
+        gc.collect()
+
+    # ENGINE-level companion: LLMEngine.step end to end (scheduler +
+    # continuous-batching backfill + chunked prefill + host boundaries) at
+    # B=16, L=32 — L matches the measured-TPF demo's block length (N=32), so
+    # engine_tps_measured below is measured x measured at consistent geometry.
+    # Like-for-like with the reference's engine figure (README.md:192).
+    if preset == "7b" and B == 1 and os.environ.get("JF_BENCH_ENGINE", "1") != "0":
+        try:
+            from jacobiforcing_tpu.apps.bench_engine import run_engine_bench
+
+            eb = run_engine_bench(
+                B=16, prompt_len=512, max_tokens=128, L=32, chunk_iters=8,
+                requests=48,
+            )
+            extra["engine_tps_at_tpf4"] = eb["value"]
+            extra["engine_occupancy"] = eb["steady_occupancy"]
+            extra["engine_ms_per_forward"] = eb["ms_per_forward"]
+            extra["engine_config"] = "7b_w8a8_B16_L32_p512"
+            if measured.get("measured_tpf"):
+                extra["engine_tps_measured"] = round(
+                    float(measured["measured_tpf"]) * eb["steady_iters_per_s"], 2
+                )
+        except Exception as e:
+            extra["engine_error"] = str(e)[:120]
 
     if measured.get("measured_tpf"):
         # headline = measured x measured (no assumed constants)

@@ -260,3 +260,24 @@ def test_bench_schema_matches_golden(tmp_path):
     ]
     for g in gens:
         assert list(g.keys()) == golden["generations_keys_with_tokenizer"]
+
+
+def test_engine_bench_smoke():
+    """run_engine_bench end to end on a tiny model: continuous batching with
+    backfill, steady-state windowing, and the metric schema bench.py embeds."""
+    import jax
+
+    from jacobiforcing_tpu.apps.bench_engine import run_engine_bench
+    from jacobiforcing_tpu.models.qwen import ModelConfig, init_params
+
+    mc = ModelConfig.tiny(vocab_size=128)
+    params = init_params(mc, jax.random.PRNGKey(0))
+    out = run_engine_bench(
+        B=2, prompt_len=24, max_tokens=16, L=8, chunk_iters=4, requests=5,
+        max_model_len=128, chunk_tokens=16, model_cfg=mc, params=params,
+    )
+    assert out["metric"] == "engine_tps_at_tpf4_64h2L_B2_L8"
+    for k in ("value", "steady_iters_per_s", "steady_occupancy",
+              "ms_per_forward", "batch_occupancy", "committed_tok_per_s"):
+        assert out[k] > 0, (k, out)
+    assert out["requests"] == 5
