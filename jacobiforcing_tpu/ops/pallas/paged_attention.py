@@ -64,7 +64,11 @@ _PP = int(_PP_ENV) if _PP_ENV else 2
 # Mosaic can overlap chunk c+1's score matmul (MXU) with chunk c's exp2/sum
 # (VPU).  The monolithic per-tile chain serializes the units: measured
 # 1.0 us/512-key tile vs ~0.3 MXU + ~0.2 VPU roofs.  1 = off.
-_SPLIT = int(_os.environ.get("JF_PA_SPLIT", "1"))
+# Round-3 sweep (scripts/probe_attn_kernel.py, same-day A/B): SPLIT=4 wins
+# wherever the per-head kernel runs — B=8/4k 0.406 -> 0.367 ms (-10%),
+# B=8/512 -5%, B=16/512 -4%; SPLIT=8 adds nothing.  The B<=2 fused-heads
+# path has no split (its loop already interleaves heads).
+_SPLIT = int(_os.environ.get("JF_PA_SPLIT", "4"))
 
 
 def _pick_pp(B: int, P: int, page_size: int) -> int:
