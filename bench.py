@@ -8,12 +8,17 @@ MEASURED x MEASURED — no assumed constants:
 
 where iters/s is the Jacobi iteration rate of the real device-resident decode
 loop at 7B dims (one L-token block forward + fused chunked-argmax verify
-against the paged KV cache), and measured_tpf is the tokens-per-forward of the
-in-repo trained checkpoint (apps/train_tpf_demo.py: SFT + the full
-collect->pack->consistency JacobiForcing loop) measured end-to-end through the
-eval harness on >=64 held-out prompts, at the SAME block length L as the
-iteration-rate run.  The reference's assumed TPF=4.0 figure
-(README.md:261) is demoted to the `tps_at_tpf4` companion.
+against the paged KV cache), and measured_tpf is the AGGREGATE
+tokens-per-forward (total held-out tokens / total forwards — the ratio of
+sums that a rate composes with; a mean of per-example ratios overstates it
+by ~20% under TPF variance) of the in-repo trained checkpoint
+(apps/train_tpf_demo.py: SFT + the full collect->pack->consistency
+JacobiForcing loop) measured end-to-end through the eval harness on >=64
+held-out prompts, at the SAME block length L as the iteration-rate run.
+The per-example mean +- sd rides along as `measured_tpf_mean` — the
+reference's acceptance-parity statistic
+(jacobi_forcing_inference_humaneval.py:274-301).  The reference's assumed
+TPF=4.0 figure (README.md:261) is demoted to the `tps_at_tpf4` companion.
 vs_baseline compares against the reference's 7B Jacobi-MR 163.9 tok/s on one
 A100 (BASELINE.md).
 
@@ -304,12 +309,14 @@ def measured_tpf_metrics(demo_dir: str) -> dict:
     agg, profiles = bench_generate.run(args, engine=eng, tokenizer=None)
     tpfs = np.asarray([p["tokens_per_forward"] for p in profiles], np.float64)
     return {
-        "measured_tpf": agg["mean_tokens_per_forward"],
-        "measured_tpf_sd": round(float(tpfs.std(ddof=1)), 4),
+        # the throughput multiplier: ratio of sums (total tokens / total
+        # forwards) — what iters/s actually composes with
+        "measured_tpf": agg["aggregate_tokens_per_forward"],
+        # acceptance-parity companion: mean of per-example ratios (the
+        # reference's per-example protocol statistic) — NOT a rate multiplier
+        "measured_tpf_mean": agg["mean_tokens_per_forward"],
+        "measured_tpf_mean_sd": round(float(tpfs.std(ddof=1)), 4),
         "measured_tpf_n_heldout": len(profiles),
-        "measured_tpf_aggregate": round(
-            1.0 / max(agg["mean_iter_per_token"], 1e-9), 3
-        ),
         "measured_tpf_model": f"tpf_demo_{mc.hidden_size}h{mc.num_layers}L_N{N}",
         "measured_tps_demo": agg["mean_tokens_per_s"],
     }

@@ -209,6 +209,12 @@ def run(args, engine=None, tokenizer=None):
 
     # EOS-only aggregate (reference jacobi_forcing_inference_humaneval.py:274-301)
     eos_rows = [p for p in profiles if p["stop_reason"] == "eos"] or profiles
+    # Ratio of sums, NOT mean of per-example ratios: throughput composes as
+    # iters/s x (total tokens / total forwards), so this is the TPF that a
+    # rate multiplies.  mean_tokens_per_forward below stays the reference's
+    # per-example acceptance-parity statistic (humaneval harness :274-301).
+    sum_toks = sum(p["new_tokens"] for p in eos_rows)
+    sum_iters = sum(p["total_iterations"] for p in eos_rows)
     agg = {
         "strategy": args.strategy,
         "n_examples": len(profiles),
@@ -224,6 +230,7 @@ def run(args, engine=None, tokenizer=None):
         "mean_tokens_per_forward": round(
             float(np.mean([p["tokens_per_forward"] for p in eos_rows])), 4
         ),
+        "aggregate_tokens_per_forward": round(sum_toks / max(sum_iters, 1), 4),
         "mean_tokens_per_s": round(
             float(np.mean([p["toks_per_sec"] for p in eos_rows])), 2
         ),
