@@ -39,6 +39,12 @@ def run_engine_bench(
     chunk_tokens: int = 128,
     model_cfg=None,
     params=None,
+    strategy: str = "jacobi",  # "jacobi" | "nongreedy" | "mr"
+    temperature: float = 0.7,  # nongreedy only (greedy strategies ignore it)
+    mr_blocks: int = 2,
+    mr_pool: int = 4,
+    mr_auto: bool = False,  # False = measure the raw MR configuration
+    prefill_buckets: Optional[tuple] = None,
 ) -> dict:
     import jax
 
@@ -72,8 +78,13 @@ def run_engine_bench(
         # chunks backfill finished slots sooner and the once-per-segment
         # host sync is already amortized at 8)
         jacobi_chunk_iters=chunk_iters,
+        jacobi_max_blocks=mr_blocks,
+        jacobi_n_gram_pool_size=mr_pool,
+        jacobi_mr_auto_policy=mr_auto,
         batch_buckets=bbs,
-        prefill_token_buckets=(prompt_len + 2 * L,),
+        prefill_token_buckets=(
+            prefill_buckets if prefill_buckets else (prompt_len + 2 * L,)
+        ),
         eos=-1,
     )
     pages_per_seq = (
@@ -89,15 +100,35 @@ def run_engine_bench(
         rng.randint(1, mc.vocab_size, prompt_len - (i % 5)).tolist()
         for i in range(R)
     ]
-    sp = SamplingParams(
-        temperature=0.0, max_tokens=max_tokens, decode_strategy="jacobi",
-        jacobi_block_len=L, jacobi_max_blocks=1, ignore_eos=True,
-        jacobi_max_iterations=1 << 20,
-    )
+    if strategy == "nongreedy":
+        sp = SamplingParams(
+            temperature=temperature, max_tokens=max_tokens,
+            decode_strategy="jacobi_nongreedy", jacobi_block_len=L,
+            jacobi_max_blocks=1, ignore_eos=True,
+            jacobi_max_iterations=1 << 20,
+        )
+        warm = ("jacobi_nongreedy",)
+    elif strategy == "mr":
+        sp = SamplingParams(
+            temperature=0.0, max_tokens=max_tokens,
+            decode_strategy="jacobi_multiblock_rejection_recycling",
+            jacobi_block_len=L, jacobi_max_blocks=mr_blocks,
+            jacobi_n_gram_pool_size=mr_pool, ignore_eos=True,
+            jacobi_max_iterations=1 << 20,
+        )
+        # the auto-policy's single-block arm needs the jacobi executable warm
+        warm = ("mr", "jacobi") if mr_auto else ("mr",)
+    else:
+        sp = SamplingParams(
+            temperature=0.0, max_tokens=max_tokens, decode_strategy="jacobi",
+            jacobi_block_len=L, jacobi_max_blocks=1, ignore_eos=True,
+            jacobi_max_iterations=1 << 20,
+        )
+        warm = ("jacobi",)
 
     # Precompile every (bucket, strategy) executable through the real
     # scheduler path so the measured run never compiles.
-    eng.warmup(strategies=("jacobi",), block_lens=(L,))
+    eng.warmup(strategies=warm, block_lens=(L,))
     eng.generate(prompts[:B], sp, use_tqdm=False)
 
     from jacobiforcing_tpu.utils import profiling
@@ -109,13 +140,15 @@ def run_engine_bench(
     t0 = time.perf_counter()
     it0 = eng.stats["jacobi_iterations"]
     fw0 = eng.stats["chunk_forwards"]
-    timeline = []  # (t, iters, forwards, unfinished)
+    g0 = eng.stats["generated_tokens"]
+    timeline = []  # (t, iters, forwards, tokens, unfinished)
     while not eng.scheduler.is_finished:
         eng.step()
         timeline.append((
             time.perf_counter() - t0,
             eng.stats["jacobi_iterations"] - it0,
             eng.stats["chunk_forwards"] - fw0,
+            eng.stats["generated_tokens"] - g0,
             sum(not s.is_finished for s in seqs),
         ))
     dt = time.perf_counter() - t0
@@ -123,21 +156,23 @@ def run_engine_bench(
     forwards = eng.stats["chunk_forwards"] - fw0
     tokens = sum(len(s.completion_token_ids) for s in seqs)
 
-    steady = [x for x in timeline if x[3] >= B]
+    steady = [x for x in timeline if x[4] >= B]
     if steady:
-        t_ss, it_ss, fw_ss, _ = steady[-1]
+        t_ss, it_ss, fw_ss, tok_ss, _ = steady[-1]
     else:  # degenerate: R < B
-        t_ss, it_ss, fw_ss = dt, iters, forwards
+        t_ss, it_ss, fw_ss, tok_ss = dt, iters, forwards, tokens
 
     tag = (
         "7b_w8a8"
         if (mc.hidden_size, mc.num_layers, mc.act_quant) == (3584, 28, True)
         else f"{mc.hidden_size}h{mc.num_layers}L"
     )
+    stag = "" if strategy == "jacobi" else f"_{strategy}"
     out = {
-        "metric": f"engine_tps_at_tpf4_{tag}_B{B}_L{L}",
+        "metric": f"engine_tps_at_tpf4_{tag}{stag}_B{B}_L{L}",
         "value": round(4.0 * it_ss / t_ss, 2),
         "unit": "tok/s",
+        "strategy": strategy,
         "steady_window_s": round(t_ss, 3),
         "steady_iters_per_s": round(it_ss / t_ss, 2),
         "steady_occupancy": round(it_ss / max(fw_ss * B, 1), 3),
@@ -152,5 +187,15 @@ def run_engine_bench(
         "max_tokens": max_tokens,
         "requests": R,
     }
+    # MR commits a variable token count per iteration (random weights still
+    # recycle pool hits), so the real committed rate over the steady window
+    # complements the @TPF4 convention for every strategy.
+    out["committed_tok_per_s_steady"] = round(tok_ss / t_ss, 2)
+    if strategy == "mr":
+        if eng._mr_policies:
+            out["mr_policy"] = eng.mr_policy_snapshot()
+        for k in ("mr_full", "mr_nocand", "mr_ra_only"):
+            if k in eng.stats:
+                out[k] = int(eng.stats[k])
     eng.exit()
     return out

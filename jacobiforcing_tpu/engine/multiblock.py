@@ -89,7 +89,7 @@ def _compact(tokens: jax.Array, valid: jax.Array):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "N", "K", "C", "W", "chunk_budget"),
+    static_argnames=("cfg", "N", "K", "C", "W", "chunk_budget", "chunk_iters"),
     donate_argnames=("kv", "tokens"),
 )
 def jacobi_chunk_multiblock(
@@ -127,6 +127,7 @@ def jacobi_chunk_multiblock(
     C: int,  # candidate slots (= n-gram pool size)
     W: int,  # pool entry width
     chunk_budget: int,
+    chunk_iters: int = 0,
 ) -> Dict[str, jax.Array]:
     B = cur_len.shape[0]
     S = 1 + C + (K - 1)  # segments: RA, C candidates, K-1 pseudos
@@ -155,17 +156,26 @@ def jacobi_chunk_multiblock(
         (qs > C) & ((ks == 0) | ((ks > C) & (ks < qs)))
     )  # [T, T]
 
+    # chunk_iters > 0: ITERATION-budget chunking — fixed device-trip count,
+    # no per-row token budget (same occupancy semantics as the greedy and
+    # nongreedy chunk programs; MR's TPF variance across rows is even larger,
+    # so token-budget chunks idle fast rows harder here).
+    budget = max_new if chunk_iters > 0 else jnp.minimum(chunk_budget, max_new)
+
     def alive_fn(st: MBState) -> jax.Array:
         return (
             (~st.eos)
             & (st.iters < max_iters)
-            & (st.generated < jnp.minimum(chunk_budget, max_new))
+            & (st.generated < budget)
             & (st.cur_len + N <= capacity)
             & (st.cur_len + N < st.tokens.shape[1])
         )
 
     def cond(st: MBState):
-        return jnp.any(alive_fn(st))
+        go = jnp.any(alive_fn(st))
+        if chunk_iters > 0:
+            go &= jnp.max(st.iters - iters) < chunk_iters
+        return go
 
     # ---------------- per-sequence segment assembly ----------------
     def assemble_seq(blk_draft, blk_dlen, blk_acc, blk_acc_toks, blk_base,
@@ -405,6 +415,12 @@ def jacobi_chunk_multiblock(
         )(st.blk_draft, st.blk_dlen, st.blk_acc, st.blk_acc_toks, st.blk_base,
           st.blk_active, st.ra, st.n_active, st.pool, st.pool_len,
           st.pool_next, lookahead_start)
+        # Dead rows' state is frozen (gated below), but their stale candidate
+        # / pseudo flags must not steer the batch-global tier choice or a
+        # draining batch stays pinned to the expensive full forward; zeroing
+        # their segments is free — every update to a dead row is discarded.
+        seg_active = seg_active & alive[:, None]
+        tok_valid = tok_valid & alive[:, None, None]
 
         out_tokens = jnp.where(tok_valid, seg_tokens, 0).reshape(B, T)
         out_pos = seg_pos.reshape(B, T)

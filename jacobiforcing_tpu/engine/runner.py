@@ -323,7 +323,7 @@ def jacobi_chunk_greedy(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "chunk_budget", "top_k", "use_top_p"),
+    static_argnames=("cfg", "chunk_budget", "chunk_iters", "top_k", "use_top_p"),
     donate_argnames=("kv", "tokens"),
 )
 def jacobi_chunk_nongreedy(
@@ -346,6 +346,7 @@ def jacobi_chunk_nongreedy(
     max_iters: jax.Array,  # [B] per-request lifetime iteration budgets
     *,
     chunk_budget: int,
+    chunk_iters: int = 0,
     top_k: int = -1,
     use_top_p: bool = False,
 ) -> Dict[str, jax.Array]:
@@ -360,21 +361,30 @@ def jacobi_chunk_nongreedy(
       * >= 1 token is committed per iteration;
       * the next draft is the GREEDY continuation from the commit point
         (jacobi_decoding_nongreedy.py:444-467), random-padded.
+
+    chunk_iters > 0 switches to ITERATION-budget chunking, same semantics as
+    jacobi_chunk_greedy: a fixed number of device trips with every unfinished
+    row participating (no per-row token budget inside the chunk) — the
+    occupancy fix the greedy path got in round 3 applies identically here.
     """
     B, L = draft.shape
     eos_token_id = jnp.asarray(eos_token_id, jnp.int32)
+    budget = None if chunk_iters > 0 else chunk_budget
     state = JacobiState(
         kv=kv, tokens=tokens, cur_len=cur_len, draft=draft, eos=eos,
         generated=jnp.zeros((B,), jnp.int32), iters=iters, key=key,
     )
 
     def cond(state: JacobiState):
-        return jnp.any(_jacobi_cond(chunk_budget, max_iters, state, max_new, capacity))
+        go = jnp.any(_jacobi_cond(budget, max_iters, state, max_new, capacity))
+        if chunk_iters > 0:
+            go &= jnp.max(state.iters - iters) < chunk_iters
+        return go
 
     def body(state: JacobiState) -> JacobiState:
         from jacobiforcing_tpu.ops.sampling import target_probs
 
-        active = _jacobi_cond(chunk_budget, max_iters, state, max_new, capacity)
+        active = _jacobi_cond(budget, max_iters, state, max_new, capacity)
         positions = (state.cur_len - 1)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
         cache_lens = state.cur_len - 1 + L
 

@@ -9,7 +9,8 @@ runs on the real chip).
 Env knobs: JF_BENCH_L (Jacobi block length; 64 matches bench.py's headline,
 32 is a reference training config that nearly doubles the iteration rate in
 the compute-bound batched regime), JF_BENCH_CHUNK_ITERS, JF_BENCH_REQUESTS,
-JF_BENCH_MAXLEN, JF_BENCH_CHUNK, PROFILE=1.
+JF_BENCH_MAXLEN, JF_BENCH_CHUNK, JF_BENCH_STRATEGY=jacobi|nongreedy|mr,
+JF_BENCH_TEMP (nongreedy), JF_BENCH_MR_BLOCKS, JF_BENCH_MR_POOL, PROFILE=1.
 """
 
 import json
@@ -36,6 +37,11 @@ out = run_engine_bench(
     ),
     max_model_len=int(os.environ.get("JF_BENCH_MAXLEN", "8192")),
     chunk_tokens=int(os.environ.get("JF_BENCH_CHUNK", "128")),
+    strategy=os.environ.get("JF_BENCH_STRATEGY", "jacobi"),
+    temperature=float(os.environ.get("JF_BENCH_TEMP", "0.7")),
+    mr_blocks=int(os.environ.get("JF_BENCH_MR_BLOCKS", "2")),
+    mr_pool=int(os.environ.get("JF_BENCH_MR_POOL", "4")),
+    mr_auto=os.environ.get("JF_BENCH_MR_AUTO", "0") == "1",
 )
 print(json.dumps(out))
 
