@@ -56,6 +56,18 @@ class Config:
     jacobi_lookahead_start_ratio: float = 0.0
     jacobi_n_gram_pool_size: int = 4
     jacobi_max_iterations: int = 128
+    # Measured MR auto-policy (engine/mr_policy.py): the reference's MR
+    # defaults are GPU-tuned (candidate rows ride free on idle SMs); on TPU
+    # the full candidate tier measures 2.17x wall per iteration at B=1/4k
+    # for ~1.18x TPF — net-losing — while whether it pays is workload-
+    # dependent.  When enabled, MR requests are served by whichever of
+    # {full MR, MR-without-candidates, single-block Jacobi} measures the
+    # highest tokens/s online (all three are greedy and commit identical
+    # tokens, so the arm choice never changes the output stream).  Disable
+    # to force the requested MR configuration unconditionally.
+    jacobi_mr_auto_policy: bool = True
+    jacobi_mr_probe_chunks: int = 4
+    jacobi_mr_reprobe_every: int = 256
 
     # Compile bucketing: each (batch bucket, seq bucket) pair is one cached XLA
     # executable — the TPU analog of per-(B, L) CUDA graphs

@@ -175,6 +175,7 @@ class LLMEngine:
             "prefill_tokens": 0, "generated_tokens": 0, "jacobi_iterations": 0,
             "ar_steps": 0, "chunk_calls": 0, "chunk_forwards": 0,
         }
+        self._mr_policies: Dict[tuple, Any] = {}
 
     # ------------------------------------------------------------------
     def _pages_from_hbm(self, page: int, kv_dtype) -> int:
@@ -445,7 +446,7 @@ class LLMEngine:
             mr_groups.setdefault(k, []).append(s)
         for (L, K, C, ignore_eos), group in mr_groups.items():
             for i in range(0, len(group), max_b):
-                self._multiblock_chunk(
+                self._mr_dispatch(
                     group[i : i + max_b], L, K, C,
                     -1 if ignore_eos else self.config.eos,
                 )
@@ -584,6 +585,7 @@ class LLMEngine:
                 jnp.asarray(max_new), jnp.asarray(temps), jnp.asarray(top_ps),
                 self._next_key(), eos_id, jnp.asarray(max_iters_arr),
                 chunk_budget=self.config.jacobi_chunk_tokens,
+                chunk_iters=self.config.jacobi_chunk_iters,
                 top_k=top_k, use_top_p=use_top_p,
             )
         else:
@@ -628,8 +630,57 @@ class LLMEngine:
         self.stats["chunk_calls"] += 1
 
     # ------------------------------------------------------------------
-    def _multiblock_chunk(
+    def _mr_dispatch(
         self, seqs: List[Sequence], N: int, K: int, C: int, eos_id: int
+    ) -> None:
+        """Route one MR chunk through the measured auto-policy
+        (engine/mr_policy.py): full MR / MR-without-candidates /
+        single-block — all greedy, all committing identical tokens, so the
+        arm only changes throughput, never output."""
+        if not self.config.jacobi_mr_auto_policy or C < 1:
+            self._multiblock_chunk(seqs, N, K, C, eos_id)
+            return
+        from jacobiforcing_tpu.engine.mr_policy import MRAutoPolicy
+
+        pol = self._mr_policies.get((N, K, C))
+        if pol is None:
+            pol = self._mr_policies[(N, K, C)] = MRAutoPolicy(
+                probe_chunks=self.config.jacobi_mr_probe_chunks,
+                reprobe_every=self.config.jacobi_mr_reprobe_every,
+            )
+        arm = pol.pick()
+        gen0 = self.stats["generated_tokens"]
+        t0 = time.perf_counter()
+        # All three arms run the SAME MR chunk executable over the SAME
+        # carried state — the knobs only gate which speculative tiers can
+        # engage, so arm switches are exact-output-invariant by construction
+        # (an earlier design swapped arm 2 to the single-block program and
+        # dropped mb_state; the re-seeded RA draft[0] is accepted
+        # unconditionally by the MR verifier, so a random re-seed committed a
+        # wrong token — caught by test_chunk_iters_mode_mr_exact_match):
+        #   arm 1 disables candidates: lookahead_start = N+1 can never be
+        #     reached by block acceptance (<= N), so cand_valid stays false
+        #     and the program takes its compute-skipping no-cand forward;
+        #   arm 2 additionally stops pseudo spawning (spawn threshold N+1),
+        #     draining to the RA-only tier = an N-token forward per
+        #     iteration, the single-block cost with full state continuity.
+        self._multiblock_chunk(
+            seqs, N, K, C, eos_id,
+            la_override=(N + 1) if arm >= 1 else None,
+            spawn_override=(N + 1) if arm == 2 else None,
+        )
+        # both chunk paths end with one batched jax.device_get, so this wall
+        # time is real on tunneled backends (block_until_ready is not)
+        pol.record(arm, self.stats["generated_tokens"] - gen0,
+                   time.perf_counter() - t0)
+
+    def mr_policy_snapshot(self) -> Dict[str, Any]:
+        return {str(k): p.snapshot() for k, p in self._mr_policies.items()}
+
+    def _multiblock_chunk(
+        self, seqs: List[Sequence], N: int, K: int, C: int, eos_id: int,
+        la_override: Optional[int] = None,
+        spawn_override: Optional[int] = None,
     ) -> None:
         """One BATCHED device segment of multiblock + rejection-recycling
         decoding (the reference HF path is single-sequence and its engine
@@ -692,8 +743,14 @@ class LLMEngine:
             capacity[i] = min(self.block_manager.capacity_tokens(s), self.cap_tokens - 1)
             max_new[i] = max(0, s.max_tokens - s.num_completion_tokens)
             max_iters[i] = min(sp.jacobi_max_iterations, 2**30)
-            spawn_thr[i] = int(math.ceil(sp.jacobi_spawn_ratio * N))
-            la_start[i] = int(math.ceil(sp.jacobi_lookahead_start_ratio * N))
+            spawn_thr[i] = (
+                spawn_override if spawn_override is not None
+                else int(math.ceil(sp.jacobi_spawn_ratio * N))
+            )
+            la_start[i] = (
+                la_override if la_override is not None
+                else int(math.ceil(sp.jacobi_lookahead_start_ratio * N))
+            )
 
         bt = self._pad_block_table(seqs, B)
         prof = get_profiler()
@@ -714,6 +771,7 @@ class LLMEngine:
             jnp.asarray(spawn_thr), jnp.asarray(la_start), jnp.asarray(max_iters),
             N=N, K=K, C=C, W=W,
             chunk_budget=self.config.jacobi_chunk_tokens,
+            chunk_iters=self.config.jacobi_chunk_iters,
         )
         self.kv = res["kv"]
         # one batched transfer (fresh per-array readbacks each pay a tunnel RTT)
@@ -741,6 +799,11 @@ class LLMEngine:
                 s.mb_state[k] = arr[i]
             self.stats["generated_tokens"] += int(gen[i])
         self.stats["jacobi_iterations"] += int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum())
+        # device while-loop trips this chunk = the slowest row's iterations
+        # (same occupancy accounting as _jacobi_chunk)
+        self.stats["chunk_forwards"] += int(
+            (iters_out[: len(seqs)] - iters[: len(seqs)]).max(initial=0)
+        )
         self.stats["chunk_calls"] += 1
         for name, n in zip(("mr_full", "mr_nocand", "mr_ra_only"),
                            host["tiers"].tolist()):
@@ -912,7 +975,8 @@ class LLMEngine:
                 return SamplingParams(temperature=0.0, max_tokens=2)
             if strategy == "jacobi_nongreedy":
                 return SamplingParams(
-                    temperature=0.7, max_tokens=2, decode_strategy="jacobi",
+                    temperature=0.7, max_tokens=2,
+                    decode_strategy="jacobi_nongreedy",
                     jacobi_block_len=L, jacobi_max_blocks=1,
                 )
             if strategy == "mr":
@@ -920,6 +984,7 @@ class LLMEngine:
                     temperature=0.0, max_tokens=2,
                     decode_strategy="jacobi_multiblock_rejection_recycling",
                     jacobi_block_len=L, jacobi_max_blocks=cfg.jacobi_max_blocks,
+                    jacobi_n_gram_pool_size=cfg.jacobi_n_gram_pool_size,
                 )
             return SamplingParams(
                 temperature=0.0, max_tokens=2, decode_strategy="jacobi",

@@ -1,0 +1,106 @@
+"""Measured auto-policy for multiblock-rejection-recycling (MR) serving.
+
+The reference ships MR with GPU-tuned defaults (K=2 blocks, n-gram pool 4 —
+inference_engine/config.py:23-30) where extra speculative rows ride free
+through underutilized SMs.  On TPU the full candidate tier costs a measured
+2.17x wall per iteration at B=1/4k (scripts/probe_mr_iter.py) for a ~1.18x
+TPF gain — net-negative — while the middle tier (candidates off) costs only
+1.08x.  Whether candidates pay is WORKLOAD-dependent (pool hit-rate,
+acceptance structure), so instead of hardcoding a hardware default the
+engine measures it online.
+
+Three arms, all running the SAME MR chunk executable over the SAME carried
+state (greedy MR == greedy AR token for token — the existing exact-match
+test matrix), so arm switches are invisible in the output stream and only
+throughput changes:
+
+  * mr_full    — MR as requested (candidates + pseudo blocks);
+  * mr_nocand  — MR with the n-gram candidate tier dynamically disabled by
+                 raising `lookahead_start` past N (block acceptance can
+                 never reach it, so `cand_valid` is always false and the
+                 chunk program takes its compute-skipping no-cand forward —
+                 same executable, no recompile);
+  * mr_ra_only — additionally stops pseudo spawning (spawn threshold N+1),
+                 draining the state machine to its RA-only tier: an N-token
+                 forward per iteration — single-block Jacobi cost with full
+                 MR state continuity.  (Switching to the actual single-block
+                 program would drop mb_state; the MR verifier accepts RA
+                 draft[0] unconditionally, so a random re-seed on the way
+                 back commits a wrong token.)
+
+Policy: interleaved probe windows (round-robin over arms, `probe_chunks`
+calls each, cumulative tokens/wall per arm), then lock to the highest
+measured tokens/s; re-probe every `reprobe_every` calls so a drifting
+workload can flip the decision.  Probe overhead is bounded:
+3*probe_chunks / reprobe_every of chunks run a potentially losing arm.
+
+Wall time must be measured around the chunk INCLUDING its host readback —
+on tunneled TPU backends `block_until_ready` does not wait (NOTES.md), and
+the engine's chunk paths already end with one batched `jax.device_get`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+ARMS = ("mr_full", "mr_nocand", "mr_ra_only")
+
+
+class MRAutoPolicy:
+    """Per-(L, K, C) group online arm selection for MR serving."""
+
+    def __init__(self, probe_chunks: int = 4, reprobe_every: int = 256):
+        assert probe_chunks >= 1 and reprobe_every > 3 * probe_chunks
+        self.probe_chunks = probe_chunks
+        self.reprobe_every = reprobe_every
+        self.wall: List[float] = [0.0, 0.0, 0.0]
+        self.tokens: List[int] = [0, 0, 0]
+        self.n: List[int] = [0, 0, 0]
+        self.calls = 0
+        self.locked: Optional[int] = None  # arm index, None while probing
+        self._since_lock = 0
+
+    # ------------------------------------------------------------------
+    def pick(self) -> int:
+        """Arm for the next chunk call."""
+        if self.locked is not None:
+            if self._since_lock >= self.reprobe_every:
+                # start a fresh probe window (decay history so the new
+                # window dominates but past evidence still breaks ties)
+                self.locked = None
+                self.wall = [w * 0.25 for w in self.wall]
+                self.tokens = [int(t * 0.25) for t in self.tokens]
+                self.n = [0, 0, 0]
+            else:
+                return self.locked
+        # interleave: the arm with the fewest probe samples goes next, so
+        # arms see the same workload mix even as the batch drains
+        return min(range(3), key=lambda a: (self.n[a], a))
+
+    def record(self, arm: int, tokens: int, wall_s: float) -> None:
+        self.calls += 1
+        self.tokens[arm] += int(tokens)
+        self.wall[arm] += float(wall_s)
+        self.n[arm] += 1
+        if self.locked is not None:
+            self._since_lock += 1
+            return
+        if min(self.n) >= self.probe_chunks:
+            rates = [
+                self.tokens[a] / self.wall[a] if self.wall[a] > 0 else 0.0
+                for a in range(3)
+            ]
+            self.locked = max(range(3), key=lambda a: rates[a])
+            self._since_lock = 0
+
+    # ------------------------------------------------------------------
+    def snapshot(self) -> dict:
+        return {
+            "locked": ARMS[self.locked] if self.locked is not None else None,
+            "calls": self.calls,
+            "tokens_per_s": [
+                round(self.tokens[a] / self.wall[a], 2) if self.wall[a] > 0 else None
+                for a in range(3)
+            ],
+            "n": list(self.n),
+        }

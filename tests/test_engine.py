@@ -259,3 +259,111 @@ def test_chunk_iters_mode_exact_match():
     )
     for a, b in zip(ar, tok_mode):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_chunk_iters_mode_nongreedy_topk1_exact_match():
+    """Iteration-budget chunking for the NONGREEDY chunk program: with
+    top_k=1 rejection sampling is deterministic (accept iff drafted ==
+    argmax; the bonus is the argmax), so trip-budget chunking must commit
+    the exact same tokens as token-budget chunking and match greedy AR —
+    chunk boundaries stay a pure scheduling artifact."""
+    prompts = make_prompts(256, sizes=(5, 9, 17, 3, 12))
+    sp = SamplingParams(
+        temperature=0.7, top_k=1, max_tokens=24,
+        decode_strategy="jacobi_nongreedy",
+        jacobi_block_len=8, jacobi_max_blocks=1, jacobi_max_iterations=256,
+    )
+    tok_mode = make_engine().generate(prompts, sp)
+    for trips in (1, 3, 7):
+        it_mode = make_engine(jacobi_chunk_iters=trips).generate(prompts, sp)
+        for a, b in zip(tok_mode, it_mode):
+            assert a["token_ids"] == b["token_ids"]
+    ar = make_engine().generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=24)
+    )
+    for a, b in zip(ar, tok_mode):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_chunk_iters_mode_mr_exact_match():
+    """Iteration-budget chunking for the MULTIBLOCK (MR) chunk program: MR
+    verification is greedy and draws no randomness, so any trip budget must
+    commit the exact same tokens as token-budget chunking and match AR."""
+    prompts = make_prompts(256, sizes=(5, 9, 17, 3))
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=24,
+        decode_strategy="jacobi_multiblock_rejection_recycling",
+        jacobi_block_len=8, jacobi_max_blocks=2, jacobi_max_iterations=256,
+    )
+    tok_mode = make_engine().generate(prompts, sp)
+    for trips in (1, 3, 7):
+        it_mode = make_engine(jacobi_chunk_iters=trips).generate(prompts, sp)
+        for a, b in zip(tok_mode, it_mode):
+            assert a["token_ids"] == b["token_ids"]
+    ar = make_engine().generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=24)
+    )
+    for a, b in zip(ar, tok_mode):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_mr_auto_policy_unit():
+    """MRAutoPolicy locks to the measured-fastest arm after the probe window
+    and re-probes after reprobe_every calls."""
+    from jacobiforcing_tpu.engine.mr_policy import MRAutoPolicy
+
+    pol = MRAutoPolicy(probe_chunks=2, reprobe_every=10)
+    # synthetic rates: arm0 100 tok/s, arm1 200 tok/s, arm2 150 tok/s
+    rates = {0: 100.0, 1: 200.0, 2: 150.0}
+    while pol.locked is None:
+        arm = pol.pick()
+        pol.record(arm, tokens=int(rates[arm]), wall_s=1.0)
+    assert pol.locked == 1
+    # stays locked through the window
+    for _ in range(10):
+        assert pol.pick() == 1
+        pol.record(1, 200, 1.0)
+    # next pick opens a new probe (workload flipped: arm2 now fastest)
+    rates = {0: 100.0, 1: 50.0, 2: 400.0}
+    assert pol.pick() != 1 or pol.locked is None  # unlocked
+    seen = set()
+    for _ in range(20):
+        arm = pol.pick()
+        seen.add(arm)
+        pol.record(arm, tokens=int(rates[arm]), wall_s=1.0)
+        if pol.locked is not None:
+            break
+    assert seen == {0, 1, 2}
+    assert pol.locked == 2
+    snap = pol.snapshot()
+    assert snap["locked"] == "mr_ra_only"
+
+
+def test_mr_auto_policy_engine_exact_match():
+    """With the auto-policy forced to switch arms aggressively (probe=1,
+    reprobe=4), MR output must STILL match plain MR and greedy AR token for
+    token — the arm choice is invisible in the output stream."""
+    prompts = make_prompts(256, sizes=(5, 9, 17))
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=24,
+        decode_strategy="jacobi_multiblock_rejection_recycling",
+        jacobi_block_len=8, jacobi_max_blocks=2, jacobi_max_iterations=512,
+    )
+    plain = make_engine(jacobi_mr_auto_policy=False).generate(prompts, sp)
+    eng = make_engine(
+        jacobi_mr_auto_policy=True, jacobi_mr_probe_chunks=1,
+        jacobi_mr_reprobe_every=4, jacobi_chunk_tokens=8,
+    )
+    auto = eng.generate(prompts, sp)
+    for a, b in zip(plain, auto):
+        assert a["token_ids"] == b["token_ids"]
+    # the policy actually ran and sampled all three arms
+    snap = eng.mr_policy_snapshot()
+    assert snap, "policy never engaged"
+    (_, s), = snap.items()
+    assert s["calls"] >= 3
+    ar = make_engine().generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=24)
+    )
+    for a, b in zip(ar, plain):
+        assert a["token_ids"] == b["token_ids"]
