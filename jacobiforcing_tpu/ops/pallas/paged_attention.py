@@ -66,8 +66,12 @@ _PP = int(_PP_ENV) if _PP_ENV else 2
 # 1.0 us/512-key tile vs ~0.3 MXU + ~0.2 VPU roofs.  1 = off.
 # Round-3 sweep (scripts/probe_attn_kernel.py, same-day A/B): SPLIT=4 wins
 # wherever the per-head kernel runs — B=8/4k 0.406 -> 0.367 ms (-10%),
-# B=8/512 -5%, B=16/512 -4%; SPLIT=8 adds nothing.  The B<=2 fused-heads
-# path has no split (its loop already interleaves heads).
+# B=8/512 -5%, B=16/512 -4%.  NOTE (ADVICE r3): at the swept tile=512
+# geometry SPLIT=8 fails the tile % (SPLIT*128) == 0 guard below and
+# silently runs UNSPLIT, so the round-3 "SPLIT=8 adds nothing" point
+# measured the split-off path; an 8-way split needs tile >= 1024 (pp=4) and
+# is unmeasured.  The B<=2 fused-heads path has no split (its loop already
+# interleaves heads).
 _SPLIT = int(_os.environ.get("JF_PA_SPLIT", "4"))
 
 

@@ -355,3 +355,48 @@ def test_softmax_policy_calibration(monkeypatch):
     bound = calibrate_flat_softmax(params, cfg, rope_table(cfg), T=32, B=1)
     assert bound > 0.0
     assert pa.get_flat_softmax_bound() == bound
+
+
+@pytest.mark.parametrize("pp,split", [("2", 4), ("4", 8)])
+def test_kernel_split_path_matches_xla(monkeypatch, pp, split):
+    """Intra-tile ILP split parity (ADVICE r3): the production default
+    (SPLIT=4, page_size=256 -> tile 512) activates the chunked flat-softmax
+    path, which the PAGE=16 tests above can never reach (tile % (SPLIT*128)
+    != 0 there).  Recreate the activating geometry in interpret mode —
+    PAGE=256 with pp=2 (tile 512, SPLIT=4) and pp=4 (tile 1024, SPLIT=8) —
+    on the per-head kernel (the fused-heads path has no split), with ragged
+    tails so both the full-tile fast path and the masked tail run.  Scaled
+    (quantized-KV) callers are dispatched to online softmax before the split
+    guard (`flat = ... and not scaled`), so the split has no scaled variant
+    to cover."""
+    from jacobiforcing_tpu.ops.pallas import paged_attention as pa
+
+    monkeypatch.setattr(pa, "_PP_ENV", pp)
+    monkeypatch.setattr(pa, "_SPLIT", split)
+    monkeypatch.setenv("JF_PA_FUSEH", "0")  # force the per-head kernel
+    BIGPAGE = 256
+    B, L, NH, KH, D = 2, 4, 4, 2, 32
+    pages_per_seq, num_pages = 4, 8
+    r = np.random.RandomState(3)
+    q = jnp.asarray(r.randn(B, L, NH, D), jnp.float32)
+    k = jnp.asarray(r.randn(KH, num_pages * BIGPAGE, D), jnp.float32)
+    v = jnp.asarray(r.randn(KH, num_pages * BIGPAGE, D), jnp.float32)
+    bt = np.zeros((B, pages_per_seq), np.int32)
+    for b in range(B):
+        bt[b] = np.arange(b * pages_per_seq, (b + 1) * pages_per_seq)
+    bt = jnp.asarray(bt)
+    # row 0 ends mid-tile (masked tail chunks), row 1 on a tile boundary
+    cache_lens = jnp.asarray([300, 1024], jnp.int32)
+    positions = (cache_lens - L)[:, None] + jnp.arange(L)[None, :]
+    scale = 1.0 / np.sqrt(D)
+
+    tile = int(pp) * BIGPAGE
+    assert tile % (split * 128) == 0, "geometry must activate the split"
+    ref = paged_attention_xla(
+        q, k, v, bt, cache_lens, positions, scale, page_size=BIGPAGE
+    )
+    out = paged_attention_pallas(
+        q, k, v, bt, cache_lens, positions, scale, page_size=BIGPAGE,
+        interpret=True, softmax="flat",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
