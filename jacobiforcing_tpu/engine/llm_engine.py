@@ -53,6 +53,7 @@ class LLMEngine:
         num_kv_pages: Optional[int] = None,
         kv_dtype=None,
         mesh=None,
+        calibration_ids=None,  # [B, T] representative prompt tokens
     ):
         self.config = config
         if config.compilation_cache:
@@ -107,17 +108,31 @@ class LLMEngine:
         # flat (fast) softmax only when it is exact for these weights (sharp
         # induction heads of trained Jacobi checkpoints measure 5x past the
         # flat cap — ops/calibrate.py).  Skipped on CPU backends (XLA path)
-        # and when JF_PA_SOFTMAX forces a choice.
+        # and when JF_PA_SOFTMAX forces a choice.  Random-token calibration
+        # can miss structure-gated sharp heads (calibrate.py docstring), so
+        # (a) callers with representative prompts pass `calibration_ids`, and
+        # (b) otherwise the first real request re-calibrates on its own
+        # prompt (`_maybe_prompt_recalibrate`) — if that flips the decision
+        # to online, the jit caches are cleared so any already-compiled
+        # executables (e.g. warmup's) are retraced with the safe softmax.
         self.flat_softmax_bound = None
+        self._prompt_recal_pending = False
         if (
             os.environ.get("JF_PA_CALIBRATE", "1") != "0"
             and os.environ.get("JF_PA_SOFTMAX", "auto") == "auto"
-            and jax.default_backend() not in ("cpu",)
+            and (
+                jax.default_backend() not in ("cpu",)
+                or os.environ.get("JF_PA_CALIBRATE_FORCE", "0") == "1"
+            )
         ):
             from jacobiforcing_tpu.ops.calibrate import calibrate_flat_softmax
 
             self.flat_softmax_bound = calibrate_flat_softmax(
-                params, model_cfg, self.rope
+                params, model_cfg, self.rope, ids=calibration_ids
+            )
+            self._prompt_recal_pending = (
+                calibration_ids is None
+                and os.environ.get("JF_PA_CALIBRATE_PROMPTS", "1") != "0"
             )
 
         if kv_dtype is None and config.kv_cache_dtype:
@@ -253,9 +268,43 @@ class LLMEngine:
             from dataclasses import replace
 
             sampling_params = replace(sampling_params, max_tokens=room)
+        if self._prompt_recal_pending:
+            self._maybe_prompt_recalibrate(token_ids)
         seq = Sequence(token_ids, sampling_params)
         self.scheduler.add(seq)
         return seq
+
+    def _maybe_prompt_recalibrate(self, token_ids: List[int]) -> None:
+        """Re-run flat-softmax calibration on the first REAL prompt.
+
+        Random-token init calibration keeps structure-gated sharp heads dark
+        (ops/calibrate.py); the first request is the earliest representative
+        input available.  Runs once; if the measured bound flips the policy
+        from flat to online, clears the jit caches so executables compiled
+        in between (warmup) are retraced with the exact softmax."""
+        self._prompt_recal_pending = False
+        from jacobiforcing_tpu.ops.calibrate import calibrate_flat_softmax
+        from jacobiforcing_tpu.ops.pallas.paged_attention import (
+            flat_enabled, set_flat_softmax_bound,
+        )
+
+        was_flat = flat_enabled()
+        ids = np.asarray(token_ids[:128], np.int32)[None, :]
+        bound = calibrate_flat_softmax(self.params, self.model_cfg, self.rope,
+                                       ids=ids)
+        # keep the WORST (largest) measured bound across calibration passes
+        if self.flat_softmax_bound is not None:
+            bound = max(bound, self.flat_softmax_bound)
+            set_flat_softmax_bound(bound)
+        self.flat_softmax_bound = bound
+        if was_flat and not flat_enabled():
+            print(
+                f"[jacobiforcing_tpu] prompt calibration raised the attention"
+                f" score bound to {bound:.1f} exp2-units (> cap/2); switching"
+                f" to online softmax and clearing compiled executables",
+                flush=True,
+            )
+            jax.clear_caches()
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)

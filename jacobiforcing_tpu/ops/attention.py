@@ -34,6 +34,57 @@ from jacobiforcing_tpu.ops.kv_cache import gather_pages, gather_scales
 
 _NEG_INF = -1e30
 
+# ---------------------------------------------------------------------------
+# Debug-mode flat-softmax guard (JF_PA_GUARD=1): whenever the Pallas path
+# runs with the FLAT softmax, also compute the masked exp2-domain score max
+# in XLA and flag (loudly, via host callback) any score past the flat cap —
+# a mis-calibrated model fails visibly instead of silently distorting
+# (`exp2(min(s, cap))` saturates above the cap).  Costs roughly a second
+# attention pass; debug only.
+_GUARD_STATE = {"tripped": False, "max_seen": 0.0}
+
+
+def _guard_enabled() -> bool:
+    return os.environ.get("JF_PA_GUARD", "0") == "1"
+
+
+def guard_tripped() -> bool:
+    return _GUARD_STATE["tripped"]
+
+
+def guard_max_seen() -> float:
+    return _GUARD_STATE["max_seen"]
+
+
+def reset_guard() -> None:
+    _GUARD_STATE["tripped"] = False
+    _GUARD_STATE["max_seen"] = 0.0
+
+
+def _guard_cb(mx) -> None:
+    import sys
+
+    from jacobiforcing_tpu.ops.pallas.paged_attention import _FLAT_CAP
+
+    mx = float(mx)
+    _GUARD_STATE["max_seen"] = max(_GUARD_STATE["max_seen"], mx)
+    if mx > _FLAT_CAP and not _GUARD_STATE["tripped"]:
+        _GUARD_STATE["tripped"] = True
+        print(
+            f"[JF_PA_GUARD] flat-softmax cap EXCEEDED: max attention score"
+            f" {mx:.1f} exp2-units > cap {_FLAT_CAP:.0f} — flat-path outputs"
+            f" are distorted; recalibrate (ops/calibrate.py) or set"
+            f" JF_PA_SOFTMAX=online",
+            file=sys.stderr, flush=True,
+        )
+
+
+def _emit_flat_guard(scores_exp2: jax.Array, mask: jax.Array) -> None:
+    """scores_exp2: any-rank score tensor already in exp2 units; mask:
+    broadcastable validity mask."""
+    mx = jnp.max(jnp.where(mask, scores_exp2, -jnp.inf))
+    jax.debug.callback(_guard_cb, mx)
+
 
 def kernel_feasible(q, k_cache_l, page_size: int, max_rows: int | None = 2048) -> bool:
     """Whether the Pallas decode/spec kernels can serve this shape.
@@ -116,6 +167,53 @@ def _gather_dequant(cache_l, scale_l, block_tables, page_size, dtype):
         s = gather_scales(scale_l, block_tables, page_size)  # [B, S, KH]
         x = x * s[..., None].astype(dtype)
     return x
+
+
+def _guard_decode_scores(
+    q, k_cache_l, block_tables, cache_lens, positions, scale, page_size,
+    k_scale_l,
+):
+    import math
+
+    B, T, NH, D = q.shape
+    KH = k_cache_l.shape[0]
+    G = NH // KH
+    k = _gather_dequant(k_cache_l, k_scale_l, block_tables, page_size, jnp.float32)
+    S = k.shape[1]
+    qg = q.astype(jnp.float32).reshape(B, T, KH, G, D).transpose(0, 2, 3, 1, 4)
+    s = jnp.einsum("bhgtd,bhsd->bhgts", qg, k.transpose(0, 2, 1, 3)) * (
+        scale * math.log2(math.e)
+    )
+    key_pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = key_pos < cache_lens[:, None]
+    causal = key_pos[:, None, :] <= positions[:, :, None]
+    mask = (valid[:, None, :] & causal)[:, None, None, :, :]
+    _emit_flat_guard(s, mask)
+
+
+def _guard_spec_scores(
+    q, k_cache_l, block_tables, cache_lens, k_new, intra_mask, scale,
+    page_size, k_scale_l,
+):
+    import math
+
+    B, T, NH, D = q.shape
+    KH = k_cache_l.shape[0]
+    G = NH // KH
+    e = scale * math.log2(math.e)
+    k = _gather_dequant(k_cache_l, k_scale_l, block_tables, page_size, jnp.float32)
+    S = k.shape[1]
+    qg = q.astype(jnp.float32).reshape(B, T, KH, G, D).transpose(0, 2, 3, 1, 4)
+    sc = jnp.einsum("bhgtd,bhsd->bhgts", qg, k.transpose(0, 2, 1, 3)) * e
+    valid_c = (
+        jnp.arange(S, dtype=jnp.int32)[None, :] < cache_lens[:, None]
+    )[:, None, None, None, :]
+    sb = jnp.einsum("bhgtd,bshd->bhgts", qg, k_new.astype(jnp.float32)) * e
+    mx = jnp.maximum(
+        jnp.max(jnp.where(valid_c, sc, -jnp.inf)),
+        jnp.max(jnp.where(intra_mask[:, None, None, :, :], sb, -jnp.inf)),
+    )
+    jax.debug.callback(_guard_cb, mx)
 
 
 def paged_attention_xla(
@@ -213,11 +311,17 @@ def paged_attention_with_block(
             )
 
             scaled = k_scale_l is not None
+            use_flat = flat_enabled()
             local = functools.partial(
                 spec_attention_pallas, scale=scale, page_size=page_size,
                 interpret=_interpret(),
-                softmax="flat" if flat_enabled() else "online",
+                softmax="flat" if use_flat else "online",
             )
+            if use_flat and not scaled and _guard_enabled():
+                _guard_spec_scores(
+                    q, k_cache_l, block_tables, cache_lens, k_new,
+                    intra_mask, scale, page_size, k_scale_l,
+                )
             mesh, xla_fallback = _serving_mesh_for(q, k_cache_l)
             if mesh is not None:
                 sp = _tp_specs(mesh)
@@ -314,14 +418,20 @@ def paged_attention(
                     paged_attention_pallas,
                 )
 
+                use_flat = flat_enabled()
                 local = functools.partial(
                     paged_attention_pallas, scale=scale, page_size=page_size,
                     interpret=_interpret(),
                     # resolve the calibrated softmax policy HERE (dispatch is
                     # re-traced per runner bucket) so the jitted kernel's
                     # cache is keyed by the explicit static choice
-                    softmax="flat" if flat_enabled() else "online",
+                    softmax="flat" if use_flat else "online",
                 )
+                if use_flat and k_scale_l is None and _guard_enabled():
+                    _guard_decode_scores(
+                        q, k_cache_l, block_tables, cache_lens, positions,
+                        scale, page_size, k_scale_l,
+                    )
                 mesh, xla_fallback = _serving_mesh_for(q, k_cache_l)
                 if mesh is not None:
                     sp = _tp_specs(mesh)
