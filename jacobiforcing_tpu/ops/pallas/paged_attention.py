@@ -176,7 +176,7 @@ def _flat_ok(rows: int, tile: int, D: int, kv_itemsize: int, q_itemsize: int) ->
 
 def _scratch_shapes(
     GL: int, D: int, tile: int, kv_dtype, flat: bool, pp: int = None,
-    q_dtype=jnp.bfloat16,
+    q_dtype=jnp.bfloat16, ring: bool = False,
 ):
     """VMEM scratch for one program: accumulator + softmax-denominator state.
 
@@ -192,11 +192,26 @@ def _scratch_shapes(
         pltpu.VMEM((GL, D), jnp.float32),  # acc
     ]
     if flat:
-        return base + [pltpu.VMEM((GL, tile), jnp.float32)]  # p_sum
-    return base + [
-        pltpu.VMEM((GL, 1), jnp.float32),  # m_i
-        pltpu.VMEM((GL, 1), jnp.float32),  # l_i
-    ]
+        base = base + [pltpu.VMEM((GL, tile), jnp.float32)]  # p_sum
+    else:
+        base = base + [
+            pltpu.VMEM((GL, 1), jnp.float32),  # m_i
+            pltpu.VMEM((GL, 1), jnp.float32),  # l_i
+        ]
+    if ring:
+        base = base + [pltpu.SMEM((2,), jnp.int32)]  # [slot offset, prefetched]
+    return base
+
+
+# Cross-program persistent DMA ring (JF_PA_RING=1, per-head kernel only):
+# each program's epilogue prefetches the NEXT (b, h) program's first tiles
+# into the slots that program will consume first, carrying (slot offset,
+# prefetched count) in SMEM scratch — scratch persists across sequential
+# grid programs on the core, the standard persistent-kernel idiom.  This
+# overlaps the next program's pipeline fill (~10 us of dead DMA latency per
+# program, scripts/probe_attn_fixed_cost.py) with the current program's tail
+# compute; at grid (B, KH) = (8, 4) that fill is re-paid 32x per layer call.
+_RING = _os.environ.get("JF_PA_RING", "0") == "1"
 
 
 def _kernel(
@@ -223,11 +238,16 @@ def _kernel(
     tiled: bool = False,
     flat: bool = None,
     pp: int = None,
+    ring: bool = False,
 ):
     if pp is None:
         pp = _PP
     if flat is None:
         flat = flat_enabled()
+    if ring:
+        assert not tiled, "DMA ring is decode-only (grid (B, KH))"
+        ring_state = softmax_scratch[-1]  # SMEM (2,): [slot offset, prefetched]
+        softmax_scratch = softmax_scratch[:-1]
     if flat:
         (p_sum,) = softmax_scratch
     else:
@@ -249,7 +269,7 @@ def _kernel(
     tile = pp * page
     ntiles = lax.div(npages + jnp.int32(pp - 1), jnp.int32(pp))
 
-    def tile_dmas(slot, t):
+    def tile_dmas_for(bb, hh, npg, slot, t):
         # Unconditional fetch of pp pages; page indices past the end clamp to
         # the last valid page (their key_abs >= clen, so the mask kills them).
         # Unconditional DMAs keep the scalar-core control flow branch-free and
@@ -259,25 +279,40 @@ def _kernel(
         # worker process — hit by any batch smaller than its bucket).
         out = []
         for j in range(pp):
-            p = jnp.minimum(pp * t + jnp.int32(j), npages - 1)
-            page_id = jnp.maximum(bt_ref[b, p], 0)
+            p = jnp.minimum(pp * t + jnp.int32(j), npg - 1)
+            page_id = jnp.maximum(bt_ref[bb, p], 0)
             base = pl.multiple_of(page_id * page, page)
             off = j * page
             out.append(pltpu.make_async_copy(
-                k_hbm.at[h, pl.ds(base, page)],
+                k_hbm.at[hh, pl.ds(base, page)],
                 kbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * j],
             ))
             out.append(pltpu.make_async_copy(
-                v_hbm.at[h, pl.ds(base, page)],
+                v_hbm.at[hh, pl.ds(base, page)],
                 vbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * j + 1],
             ))
         return out
 
-    # warm up: fill the pipeline
+    def tile_dmas(slot, t):
+        return tile_dmas_for(b, h, npages, slot, t)
+
+    if ring:
+        # Ring hand-off: the previous program prefetched our first `pref`
+        # tiles starting at slot `base_off`; issue only the remainder.  The
+        # first program of the grid owns uninitialized SMEM — mask it out.
+        is_first = (b == 0) & (h == 0)
+        base_off = jnp.where(is_first, 0, lax.rem(ring_state[0], jnp.int32(_NBUF)))
+        pref = jnp.where(is_first, 0, jnp.clip(ring_state[1], 0, _NBUF))
+    else:
+        base_off = jnp.int32(0)
+        pref = jnp.int32(0)
+
+    # warm up: fill the pipeline (skipping ring-prefetched tiles)
     for t0 in range(_NBUF):
-        @pl.when(t0 < ntiles)
+        @pl.when((t0 < ntiles) & (t0 >= pref))
         def _():
-            for dma in tile_dmas(t0, jnp.int32(t0)):
+            for dma in tile_dmas(lax.rem(base_off + t0, jnp.int32(_NBUF)),
+                                 jnp.int32(t0)):
                 dma.start()
 
     acc[...] = jnp.zeros_like(acc)
@@ -297,7 +332,7 @@ def _kernel(
     nsplit = _SPLIT if (flat and _SPLIT > 1 and tile % (_SPLIT * 128) == 0) else 1
 
     def body(t, _):
-        slot = lax.rem(t, jnp.int32(_NBUF))
+        slot = lax.rem(base_off + t, jnp.int32(_NBUF))
         for dma in tile_dmas(slot, t):
             dma.wait()
 
@@ -437,6 +472,40 @@ def _kernel(
         return 0
 
     lax.fori_loop(jnp.int32(0), ntiles, body, 0)
+
+    if ring:
+        # Epilogue prefetch: start the NEXT (b, h) program's first tiles into
+        # the slots it will consume first (the ring rotation continues across
+        # the program boundary), overlapping its pipeline fill with this
+        # program's final reduction/divide below.  The last NBUF tiles of
+        # this program started no refills, so those slots are consumed and
+        # free by the time the loop exits.
+        nb = pl.num_programs(0)
+        nh = pl.num_programs(1)
+        wrap = h + 1 == nh
+        b2 = jnp.where(wrap, b + 1, b)
+        h2 = jnp.where(wrap, 0, h + 1)
+        is_last = b2 >= nb
+        b2 = jnp.minimum(b2, nb - 1)
+        clen2 = clen_ref[b2]
+        qstart2 = qstart_ref[b2]
+        kv_limit2 = jnp.minimum(clen2, qstart2 + jnp.int32(L))
+        npages2 = lax.div(kv_limit2 + jnp.int32(page - 1), jnp.int32(page))
+        ntiles2 = lax.div(npages2 + jnp.int32(pp - 1), jnp.int32(pp))
+        new_off = lax.rem(base_off + ntiles, jnp.int32(_NBUF))
+        npf = jnp.where(is_last, 0, jnp.minimum(jnp.int32(_NBUF), ntiles2))
+        for j in range(_NBUF):
+            @pl.when(j < npf)
+            def _():
+                for dma in tile_dmas_for(
+                    b2, h2, npages2,
+                    lax.rem(new_off + jnp.int32(j), jnp.int32(_NBUF)),
+                    jnp.int32(j),
+                ):
+                    dma.start()
+        ring_state[0] = new_off
+        ring_state[1] = npf
+
     if flat:
         # one cross-lane reduction for the whole program
         l = jnp.sum(p_sum[...], axis=1, keepdims=True)
@@ -727,6 +796,9 @@ def paged_attention_pallas(
                 pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, *_: (b, h, 0, 0)),
             ]
 
+    # Cross-program DMA ring: per-head kernel only (the fused path's loop
+    # already crosses head boundaries without draining within a program).
+    use_ring = _RING and not fused
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,) if fused else (B, KH),
@@ -737,7 +809,8 @@ def paged_attention_pallas(
             else pl.BlockSpec((1, 1, GL, D), lambda b, h, *_: (b, h, 0, 0))
         ),
         scratch_shapes=_scratch_shapes(
-            GL, D, pp * page_size, k_cache_l.dtype, flat, pp=pp, q_dtype=q.dtype
+            GL, D, pp * page_size, k_cache_l.dtype, flat, pp=pp,
+            q_dtype=q.dtype, ring=use_ring,
         ),
     )
 
@@ -764,6 +837,7 @@ def paged_attention_pallas(
                 vs_ref.at[0, 0] if scaled else None,
                 o_ref.at[0, 0], *scratch,
                 page=page_size, L=L, scaled=scaled, pp=pp, flat=flat,
+                ring=use_ring,
             )
 
     out = pl.pallas_call(

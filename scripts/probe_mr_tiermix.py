@@ -58,13 +58,17 @@ def main():
     with open(os.path.join(demo, "heldout_prompts.jsonl")) as f:
         prompts = [json.loads(l)["prompt_ids"] for l in f][:n_prompts]
 
-    def run(strategy, **sp_kw):
+    def run(strategy, mr_auto=False, **sp_kw):
         eng = LLMEngine(
             Config(kvcache_page_size=16, max_model_len=512,
                    jacobi_chunk_tokens=2 * N, eos=-1,
                    prefill_token_buckets=(32, 64, 128, 256, 512),
                    batch_buckets=(min(8, n_prompts),),
-                   max_num_seqs=min(8, n_prompts)),
+                   max_num_seqs=min(8, n_prompts),
+                   # raw MR by default so the tier mix measures the state
+                   # machine, not the policy; mr_auto=True measures the
+                   # shipping default on the same workload
+                   jacobi_mr_auto_policy=mr_auto),
             model_cfg=mc, params=params, num_kv_pages=4096,
         )
         sp = SamplingParams(
@@ -93,6 +97,8 @@ def main():
     single = run("jacobi", jacobi_max_blocks=3)
     mr = run("jacobi_multiblock_rejection_recycling",
              jacobi_max_blocks=K, jacobi_n_gram_pool_size=C)
+    mr_auto = run("jacobi_multiblock_rejection_recycling", mr_auto=True,
+                  jacobi_max_blocks=K, jacobi_n_gram_pool_size=C)
     tot = max(sum(mr["tiers"].values()), 1)
     out = {
         "probe": "mr_tiermix_trained_demo",
@@ -100,10 +106,15 @@ def main():
         "N": N, "K": K, "C": C, "prompts": len(prompts),
         "single_block": single,
         "mr": mr,
+        "mr_auto_policy": mr_auto,
         "tier_mix_pct": {k: round(100.0 * v / tot, 1)
                          for k, v in mr["tiers"].items()},
         "mr_iter_cost_vs_single_x": round(
             mr["ms_per_iter"] / max(single["ms_per_iter"], 1e-9), 3),
+        "mr_vs_single_tok_per_s_x": round(
+            mr["tok_per_s"] / max(single["tok_per_s"], 1e-9), 3),
+        "mr_auto_vs_single_tok_per_s_x": round(
+            mr_auto["tok_per_s"] / max(single["tok_per_s"], 1e-9), 3),
     }
     print(json.dumps(out), flush=True)
 

@@ -1,0 +1,99 @@
+"""Quantization vs acceptance on the TRAINED demo checkpoint (VERDICT r3 #7).
+
+The W8A8 quality story previously rested on random-weight logit
+perturbations (NOTES round 3); this probe ties quantization to the one
+trained artifact in the repo: it runs the demo checkpoint
+(assets/tpf_demo_n32_v2) through the real engine + eval harness at f32,
+int8 weight-only, and W8A8, and reports
+
+  * aggregate + mean tokens-per-forward per variant (acceptance), and
+  * token-exact-match vs the f32 generations (exact-match rate over
+    held-out prompts + mean common-prefix fraction),
+
+i.e. exactly the acceptance/quality axes of the reference's README table
+(reference README.md:253-270 couples TPF to task accuracy).
+
+Usage: python scripts/probe_quant_acceptance.py [demo_dir]  (runs on the
+ambient backend — the real chip under axon).
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_variant(demo_dir: str, quantization: str | None):
+    import jax.numpy as jnp
+
+    from jacobiforcing_tpu.apps import bench_generate
+    from jacobiforcing_tpu.config import Config
+    from jacobiforcing_tpu.engine.llm_engine import LLMEngine
+    from jacobiforcing_tpu.utils.loader import load_checkpoint
+
+    with open(os.path.join(demo_dir, "tpf_demo.json")) as f:
+        meta = json.load(f)
+    N = int(meta.get("block_len", 16))
+    mc, params = load_checkpoint(demo_dir, dtype=jnp.float32)
+    eng = LLMEngine(
+        Config(kvcache_page_size=16, max_model_len=512, jacobi_chunk_tokens=64,
+               eos=-1, prefill_token_buckets=(32, 64, 128, 256, 512),
+               quantization=quantization or ""),
+        model_cfg=mc, params=params, num_kv_pages=1024,
+    )
+    args = bench_generate.make_parser().parse_args([])
+    args.strategy = "jacobi"
+    args.n_token_seq_len = N
+    args.max_blocks = 1
+    args.max_new_tokens = int(meta.get("max_tokens", 64))
+    args.max_iterations = 1 << 20
+    args.dataset = os.path.join(demo_dir, "heldout_prompts.jsonl")
+    args.output_dir = tempfile.mkdtemp(prefix=f"jf_quant_{quantization or 'f32'}_")
+    agg, profiles = bench_generate.run(args, engine=eng, tokenizer=None)
+    gens = []
+    with open(os.path.join(args.output_dir, "generations_jacobi.jsonl")) as f:
+        for line in f:
+            gens.append(json.loads(line)["token_ids"])
+    eng.exit()
+    return agg, profiles, gens
+
+
+def prefix_frac(a, b):
+    n = min(len(a), len(b))
+    i = 0
+    while i < n and a[i] == b[i]:
+        i += 1
+    return i / max(len(a), len(b), 1)
+
+
+def main():
+    demo_dir = sys.argv[1] if len(sys.argv) > 1 else "assets/tpf_demo_n32_v2"
+    out = {}
+    base_gens = None
+    for q in (None, "int8", "w8a8"):
+        name = q or "f32"
+        agg, profiles, gens = run_variant(demo_dir, q)
+        row = {
+            "aggregate_tpf": agg["aggregate_tokens_per_forward"],
+            "mean_tpf": agg["mean_tokens_per_forward"],
+            "n": agg["n_examples"],
+        }
+        if base_gens is None:
+            base_gens = gens
+        else:
+            fr = [prefix_frac(a, b) for a, b in zip(base_gens, gens)]
+            row["exact_match_rate_vs_f32"] = round(
+                float(np.mean([a == b for a, b in zip(base_gens, gens)])), 4
+            )
+            row["mean_prefix_frac_vs_f32"] = round(float(np.mean(fr)), 4)
+        out[name] = row
+        print(json.dumps({name: row}), flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -400,3 +400,38 @@ def test_kernel_split_path_matches_xla(monkeypatch, pp, split):
         interpret=True, softmax="flat",
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("softmax", ["flat", "online"])
+def test_kernel_dma_ring_matches_xla(monkeypatch, softmax):
+    """Cross-program persistent DMA ring (JF_PA_RING): each program's
+    epilogue prefetches the next (b, h) program's first tiles, carrying slot
+    offset + prefetched count in SMEM across the sequential grid.  Parity on
+    a multi-program grid with RAGGED lengths (different ntiles per program
+    exercises the rotating hand-off) vs the XLA reference."""
+    from jacobiforcing_tpu.ops.pallas import paged_attention as pa
+
+    monkeypatch.setattr(pa, "_RING", True)
+    monkeypatch.setenv("JF_PA_FUSEH", "0")  # ring lives on the per-head path
+    B, L, NH, KH, D = 3, 4, 4, 2, 32
+    pages_per_seq, num_pages = 6, 32
+    r = np.random.RandomState(11)
+    q = jnp.asarray(r.randn(B, L, NH, D), jnp.float32)
+    k = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    v = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    bt = np.zeros((B, pages_per_seq), np.int32)
+    for b in range(B):
+        bt[b] = np.arange(b * pages_per_seq, (b + 1) * pages_per_seq)
+    bt = jnp.asarray(bt)
+    cache_lens = jnp.asarray([37, 80, 9], jnp.int32)  # ragged ntiles
+    positions = (cache_lens - L)[:, None] + jnp.arange(L)[None, :]
+    scale = 1.0 / np.sqrt(D)
+
+    ref = paged_attention_xla(
+        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE
+    )
+    out = paged_attention_pallas(
+        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE,
+        interpret=True, softmax=softmax,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
