@@ -115,12 +115,22 @@ def run(args) -> dict:
     from jacobiforcing_tpu.utils.loader import save_checkpoint
 
     N = args.block_len
-    mc = demo_model_cfg(args.hidden, args.layers, args.heads, args.kv_heads)
-    params = init_params(mc, jax.random.PRNGKey(0))
+    if getattr(args, "init_from", None):
+        # continue consistency training from an existing demo checkpoint
+        # (skips SFT; geometry comes from the checkpoint)
+        from jacobiforcing_tpu.utils.loader import load_checkpoint
+
+        mc, params = load_checkpoint(args.init_from, dtype=jnp.float32)
+        _log(f"[init] resumed from {args.init_from} "
+             f"({mc.hidden_size}h{mc.num_layers}L)")
+    else:
+        mc = demo_model_cfg(args.hidden, args.layers, args.heads, args.kv_heads)
+        params = init_params(mc, jax.random.PRNGKey(0))
     rope = rope_table(mc)
     rng = np.random.RandomState(0)
 
     # ---- stage 1: SFT on the copy language (batched causal LM) ----
+    sft_steps = 0 if getattr(args, "init_from", None) else args.sft_steps
     B, T = args.sft_batch, 96
     warmup = min(100, max(args.sft_steps // 10, 1))
     sft_sched = optax.warmup_cosine_decay_schedule(
@@ -144,7 +154,7 @@ def run(args) -> dict:
         upd, opt_state = sft_opt.update(g, opt_state, params)
         return optax.apply_updates(params, upd), opt_state, loss
 
-    for step_i in range(args.sft_steps):
+    for step_i in range(sft_steps):
         ids = np.zeros((B, T), np.int32)
         w = np.zeros((B, T - 1), np.float32)
         for b in range(B):
@@ -191,13 +201,19 @@ def run(args) -> dict:
     step = make_train_step(mc, tc, opt)
     opt_state = opt.init(params)
 
-    tpf0, sd0, _ = measure_tpf_via_harness(
+    tpf0, sd0, agg0 = measure_tpf_via_harness(
         mc, params, heldout, N, args.max_tokens, args.out
     )
-    _log(f"[loop] TPF after SFT, before consistency: {tpf0:.3f} +- {sd0:.3f}")
-    history = [{"round": -1, "tpf": round(tpf0, 3), "sd": round(sd0, 3)}]
+    agg_tpf = agg0["aggregate_tokens_per_forward"]
+    _log(f"[loop] TPF after SFT, before consistency: {tpf0:.3f} +- {sd0:.3f} "
+         f"(aggregate {agg_tpf:.3f})")
+    # aggregate = total tokens / total forwards — the throughput multiplier
+    # (mean of per-example ratios overstates it; VERDICT r3 #1); the training
+    # target is the AGGREGATE, the mean rides along for acceptance parity
+    history = [{"round": -1, "tpf": round(tpf0, 3), "sd": round(sd0, 3),
+                "tpf_aggregate": agg_tpf}]
 
-    def write_result(tpf, sd):
+    def write_result(tpf, sd, agg_tpf):
         # the SHIPPED checkpoint is always the latest round's (no
         # best-of-rounds selection; the >=64-prompt eval keeps per-round
         # noise small enough that the history is trustworthy on its own)
@@ -205,6 +221,7 @@ def run(args) -> dict:
             "tpf_history": history,
             "tpf_final": round(tpf, 3),
             "tpf_final_sd": round(sd, 3),
+            "tpf_final_aggregate": agg_tpf,
             "n_heldout": len(heldout),
             "checkpoint": args.out,
             "block_len": N,
@@ -214,7 +231,7 @@ def run(args) -> dict:
             json.dump(result, f, indent=2)
         return result
 
-    result = write_result(tpf0, sd0)
+    result = write_result(tpf0, sd0, agg_tpf)
     tpf, sd = tpf0, sd0
     for rnd in range(args.rounds):
         eng = make_engine(mc, params)
@@ -239,17 +256,19 @@ def run(args) -> dict:
         tpf, sd, agg = measure_tpf_via_harness(
             mc, params, heldout, N, args.max_tokens, args.out
         )
-        history.append({"round": rnd, "tpf": round(tpf, 3), "sd": round(sd, 3)})
+        agg_tpf = agg["aggregate_tokens_per_forward"]
+        history.append({"round": rnd, "tpf": round(tpf, 3), "sd": round(sd, 3),
+                        "tpf_aggregate": agg_tpf})
         # checkpoint + result every round so long runs are resumable/inspectable
         save_checkpoint(args.out, mc, params)
-        result = write_result(tpf, sd)
+        result = write_result(tpf, sd, agg_tpf)
         _log(
             f"[loop] round {rnd}: loss={float(m['loss']):.3f} "
-            f"TPF={tpf:.3f} +- {sd:.3f}"
+            f"TPF={tpf:.3f} +- {sd:.3f} (aggregate {agg_tpf:.3f})"
         )
 
     save_checkpoint(args.out, mc, params)
-    result = write_result(tpf, sd)
+    result = write_result(tpf, sd, agg_tpf)
     print(json.dumps(result))
     return result
 
@@ -272,6 +291,11 @@ def main():
     p.add_argument("--sft-steps", type=int, default=6000)
     p.add_argument("--sft-batch", type=int, default=48)
     p.add_argument("--sft-lr", type=float, default=2e-3)
+    p.add_argument(
+        "--init-from", default=None,
+        help="existing demo checkpoint dir: skip SFT, continue consistency "
+             "rounds from its weights (geometry args are ignored)",
+    )
     run(p.parse_args())
 
 
