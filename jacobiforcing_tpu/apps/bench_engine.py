@@ -130,6 +130,7 @@ def run_engine_bench(
     # scheduler path so the measured run never compiles.
     eng.warmup(strategies=warm, block_lens=(L,))
     eng.generate(prompts[:B], sp, use_tqdm=False)
+    eng._mr_policies.clear()  # measured run starts with a fresh probe window
 
     from jacobiforcing_tpu.utils import profiling
 

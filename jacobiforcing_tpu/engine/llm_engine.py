@@ -720,8 +720,12 @@ class LLMEngine:
         )
         # both chunk paths end with one batched jax.device_get, so this wall
         # time is real on tunneled backends (block_until_ready is not)
-        pol.record(arm, self.stats["generated_tokens"] - gen0,
-                   time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        toks = self.stats["generated_tokens"] - gen0
+        if os.environ.get("JF_MR_POLICY_LOG", "0") == "1":
+            print(f"[mr_policy] arm={arm} B={len(seqs)} toks={toks} "
+                  f"wall={dt*1e3:.1f}ms locked={pol.locked}", flush=True)
+        pol.record(arm, toks, dt, slots=len(seqs))
 
     def mr_policy_snapshot(self) -> Dict[str, Any]:
         return {str(k): p.snapshot() for k, p in self._mr_policies.items()}
@@ -1059,6 +1063,9 @@ class LLMEngine:
                     if plen <= 0:
                         continue
                     run(f"prefill_{strategy}{ltag}_T{T}", 1, plen, strategy, L)
+        # warmup traffic (compile walls of seconds per bucket) must not seed
+        # the MR auto-policy's measurements — mr_policy.py docstring
+        self._mr_policies.clear()
         return timings
 
     def generate(

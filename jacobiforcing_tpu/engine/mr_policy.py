@@ -29,10 +29,20 @@ throughput changes:
                  back commits a wrong token.)
 
 Policy: interleaved probe windows (round-robin over arms, `probe_chunks`
-calls each, cumulative tokens/wall per arm), then lock to the highest
-measured tokens/s; re-probe every `reprobe_every` calls so a drifting
-workload can flip the decision.  Probe overhead is bounded:
+calls each), then lock to the highest measured committed-token rate;
+re-probe every `reprobe_every` calls, and immediately when the locked
+arm's recent rate collapses below `drift_ratio` of its lock-time rate (a
+drifting workload — e.g. acceptance structure changing as the batch mix
+turns over — must not keep a stale winner).  Probe overhead is bounded:
 3*probe_chunks / reprobe_every of chunks run a potentially losing arm.
+
+Measurement fairness (round-4 on-chip finding, assets/engine_grid_r4):
+  * rates are normalized PER BATCH SLOT (tokens / (slots x wall)) — during
+    continuous-batching ramp-up/drain, arms land on different batch sizes
+    and raw tokens/s would compare workloads, not arms;
+  * warmup traffic must not reach the policy at all (compile walls of
+    7-11 s per bucket poison whichever arm they land on) — LLMEngine
+    clears its policies after warmup().
 
 Wall time must be measured around the chunk INCLUDING its host readback —
 on tunneled TPU backends `block_until_ready` does not wait (NOTES.md), and
@@ -49,58 +59,79 @@ ARMS = ("mr_full", "mr_nocand", "mr_ra_only")
 class MRAutoPolicy:
     """Per-(L, K, C) group online arm selection for MR serving."""
 
-    def __init__(self, probe_chunks: int = 4, reprobe_every: int = 256):
+    def __init__(self, probe_chunks: int = 4, reprobe_every: int = 256,
+                 drift_ratio: float = 0.6):
         assert probe_chunks >= 1 and reprobe_every > 3 * probe_chunks
         self.probe_chunks = probe_chunks
         self.reprobe_every = reprobe_every
-        self.wall: List[float] = [0.0, 0.0, 0.0]
+        self.drift_ratio = drift_ratio
+        self.slot_wall: List[float] = [0.0, 0.0, 0.0]  # sum(slots * wall_s)
         self.tokens: List[int] = [0, 0, 0]
         self.n: List[int] = [0, 0, 0]
         self.calls = 0
         self.locked: Optional[int] = None  # arm index, None while probing
         self._since_lock = 0
+        self._lock_rate = 0.0  # per-slot rate at lock time
+        self._ema_rate: Optional[float] = None  # recent locked-arm rate
 
     # ------------------------------------------------------------------
+    def _rate(self, a: int) -> float:
+        return self.tokens[a] / self.slot_wall[a] if self.slot_wall[a] > 0 else 0.0
+
+    def _unlock(self) -> None:
+        # decay history so the new window dominates but past evidence still
+        # breaks ties
+        self.locked = None
+        self.slot_wall = [w * 0.25 for w in self.slot_wall]
+        self.tokens = [int(t * 0.25) for t in self.tokens]
+        self.n = [0, 0, 0]
+        self._ema_rate = None
+
     def pick(self) -> int:
         """Arm for the next chunk call."""
         if self.locked is not None:
             if self._since_lock >= self.reprobe_every:
-                # start a fresh probe window (decay history so the new
-                # window dominates but past evidence still breaks ties)
-                self.locked = None
-                self.wall = [w * 0.25 for w in self.wall]
-                self.tokens = [int(t * 0.25) for t in self.tokens]
-                self.n = [0, 0, 0]
+                self._unlock()
             else:
                 return self.locked
         # interleave: the arm with the fewest probe samples goes next, so
         # arms see the same workload mix even as the batch drains
         return min(range(3), key=lambda a: (self.n[a], a))
 
-    def record(self, arm: int, tokens: int, wall_s: float) -> None:
+    def record(self, arm: int, tokens: int, wall_s: float,
+               slots: int = 1) -> None:
+        """Account one chunk call: `tokens` committed over `wall_s` seconds
+        by a batch of `slots` sequences (rates are per slot-second)."""
         self.calls += 1
+        slots = max(int(slots), 1)
         self.tokens[arm] += int(tokens)
-        self.wall[arm] += float(wall_s)
+        self.slot_wall[arm] += float(wall_s) * slots
         self.n[arm] += 1
+        rate = tokens / max(wall_s * slots, 1e-9)
         if self.locked is not None:
             self._since_lock += 1
+            if arm == self.locked:
+                self._ema_rate = (
+                    rate if self._ema_rate is None
+                    else 0.7 * self._ema_rate + 0.3 * rate
+                )
+                if (
+                    self._since_lock >= 3
+                    and self._ema_rate < self.drift_ratio * self._lock_rate
+                ):
+                    self._unlock()  # workload drifted under the locked arm
             return
         if min(self.n) >= self.probe_chunks:
-            rates = [
-                self.tokens[a] / self.wall[a] if self.wall[a] > 0 else 0.0
-                for a in range(3)
-            ]
-            self.locked = max(range(3), key=lambda a: rates[a])
+            self.locked = max(range(3), key=self._rate)
             self._since_lock = 0
+            self._lock_rate = self._rate(self.locked)
+            self._ema_rate = None
 
     # ------------------------------------------------------------------
     def snapshot(self) -> dict:
         return {
             "locked": ARMS[self.locked] if self.locked is not None else None,
             "calls": self.calls,
-            "tokens_per_s": [
-                round(self.tokens[a] / self.wall[a], 2) if self.wall[a] > 0 else None
-                for a in range(3)
-            ],
+            "tokens_per_slot_s": [round(self._rate(a), 2) for a in range(3)],
             "n": list(self.n),
         }

@@ -367,3 +367,34 @@ def test_mr_auto_policy_engine_exact_match():
     )
     for a, b in zip(ar, plain):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_mr_auto_policy_drift_reprobe():
+    """A locked arm whose per-slot rate collapses must trigger an immediate
+    re-probe (not wait out reprobe_every): the on-chip grid showed a probe
+    snapshot can overestimate an arm on a drifting workload."""
+    from jacobiforcing_tpu.engine.mr_policy import MRAutoPolicy
+
+    pol = MRAutoPolicy(probe_chunks=1, reprobe_every=1000)
+    for rate in (100.0, 300.0, 200.0):  # one probe call per arm
+        arm = pol.pick()
+        pol.record(arm, tokens=int(rate), wall_s=1.0)
+    assert pol.locked == 1
+    # healthy rate: stays locked
+    for _ in range(5):
+        assert pol.pick() == 1
+        pol.record(1, 300, 1.0)
+    assert pol.locked == 1
+    # workload drifts: locked arm's rate collapses -> unlock well before 1000
+    for _ in range(10):
+        if pol.locked is None:
+            break
+        pol.record(pol.pick(), 30, 1.0)
+    assert pol.locked is None
+    # batch-size normalization: same tokens/slot/s at different B is a tie in
+    # per-slot rate space (raw tokens/s would 16x the bigger batch)
+    pol2 = MRAutoPolicy(probe_chunks=1, reprobe_every=1000)
+    pol2.record(0, 160, 1.0, slots=16)  # 10 tok/slot/s
+    pol2.record(1, 300, 1.0, slots=1)   # 300 tok/slot/s
+    pol2.record(2, 20, 1.0, slots=1)    # 20
+    assert pol2.locked == 1
