@@ -70,8 +70,23 @@ def prefix_frac(a, b):
     return i / max(len(a), len(b), 1)
 
 
+def copy_accuracy(prompts, gens):
+    """TASK accuracy on the demo's copy language: the correct continuation is
+    the prompt repeated cyclically (train_tpf_demo.copy_language_row), so
+    accuracy = fraction of generated tokens equal to the ground truth — the
+    analog of the reference's HumanEval/GSM8K accuracy column coupled to TPF
+    (reference README.md:253-270)."""
+    fr = []
+    for p, g in zip(prompts, gens):
+        truth = [p[i % len(p)] for i in range(len(g))]
+        fr.append(float(np.mean([a == b for a, b in zip(g, truth)])) if g else 0.0)
+    return round(float(np.mean(fr)), 4)
+
+
 def main():
     demo_dir = sys.argv[1] if len(sys.argv) > 1 else "assets/tpf_demo_n32_v2"
+    with open(os.path.join(demo_dir, "heldout_prompts.jsonl")) as f:
+        prompts = [json.loads(l)["prompt_ids"] for l in f]
     out = {}
     base_gens = None
     for q in (None, "int8", "w8a8"):
@@ -80,6 +95,7 @@ def main():
         row = {
             "aggregate_tpf": agg["aggregate_tokens_per_forward"],
             "mean_tpf": agg["mean_tokens_per_forward"],
+            "copy_task_accuracy": copy_accuracy(prompts, gens),
             "n": agg["n_examples"],
         }
         if base_gens is None:
