@@ -176,7 +176,7 @@ def _flat_ok(rows: int, tile: int, D: int, kv_itemsize: int, q_itemsize: int) ->
 
 def _scratch_shapes(
     GL: int, D: int, tile: int, kv_dtype, flat: bool, pp: int = None,
-    q_dtype=jnp.bfloat16, ring: bool = False,
+    q_dtype=jnp.bfloat16,
 ):
     """VMEM scratch for one program: accumulator + softmax-denominator state.
 
@@ -198,20 +198,21 @@ def _scratch_shapes(
             pltpu.VMEM((GL, 1), jnp.float32),  # m_i
             pltpu.VMEM((GL, 1), jnp.float32),  # l_i
         ]
-    if ring:
-        base = base + [pltpu.SMEM((2,), jnp.int32)]  # [slot offset, prefetched]
     return base
 
 
-# Cross-program persistent DMA ring (JF_PA_RING=1, per-head kernel only):
-# each program's epilogue prefetches the NEXT (b, h) program's first tiles
-# into the slots that program will consume first, carrying (slot offset,
-# prefetched count) in SMEM scratch — scratch persists across sequential
-# grid programs on the core, the standard persistent-kernel idiom.  This
-# overlaps the next program's pipeline fill (~10 us of dead DMA latency per
-# program, scripts/probe_attn_fixed_cost.py) with the current program's tail
-# compute; at grid (B, KH) = (8, 4) that fill is re-paid 32x per layer call.
-_RING = _os.environ.get("JF_PA_RING", "0") == "1"
+# NOTE (round 4): a cross-program persistent DMA ring for the per-head grid
+# (each program's epilogue prefetching the next (b, h) program's first tiles,
+# SMEM-carried ring state) was implemented, interpret-parity-clean, and
+# bit-exact on-chip when it completed — but deadlocked NONDETERMINISTICALLY
+# under back-to-back grid passes (lax.scan; ~1/3 of runs at some geometries),
+# while host-synced sequential dispatches never hung.  The minimal semantics
+# probe (scripts/probe_ring_minimal.py) shows cross-program DMA start/wait
+# itself works, so the race is in the interaction with Mosaic's own pipeline
+# machinery across kernel invocations.  The ring was removed in favor of the
+# fused-heads streaming path below, which gets the same fill amortization
+# with only within-program DMA semantics and measures faster than the ring
+# did (B=8/4k L=32: ring 362 us vs fused+split 217 us).
 
 
 def _kernel(
@@ -238,16 +239,11 @@ def _kernel(
     tiled: bool = False,
     flat: bool = None,
     pp: int = None,
-    ring: bool = False,
 ):
     if pp is None:
         pp = _PP
     if flat is None:
         flat = flat_enabled()
-    if ring:
-        assert not tiled, "DMA ring is decode-only (grid (B, KH))"
-        ring_state = softmax_scratch[-1]  # SMEM (2,): [slot offset, prefetched]
-        softmax_scratch = softmax_scratch[:-1]
     if flat:
         (p_sum,) = softmax_scratch
     else:
@@ -269,7 +265,7 @@ def _kernel(
     tile = pp * page
     ntiles = lax.div(npages + jnp.int32(pp - 1), jnp.int32(pp))
 
-    def tile_dmas_for(bb, hh, npg, slot, t):
+    def tile_dmas(slot, t):
         # Unconditional fetch of pp pages; page indices past the end clamp to
         # the last valid page (their key_abs >= clen, so the mask kills them).
         # Unconditional DMAs keep the scalar-core control flow branch-free and
@@ -279,40 +275,25 @@ def _kernel(
         # worker process — hit by any batch smaller than its bucket).
         out = []
         for j in range(pp):
-            p = jnp.minimum(pp * t + jnp.int32(j), npg - 1)
-            page_id = jnp.maximum(bt_ref[bb, p], 0)
+            p = jnp.minimum(pp * t + jnp.int32(j), npages - 1)
+            page_id = jnp.maximum(bt_ref[b, p], 0)
             base = pl.multiple_of(page_id * page, page)
             off = j * page
             out.append(pltpu.make_async_copy(
-                k_hbm.at[hh, pl.ds(base, page)],
+                k_hbm.at[h, pl.ds(base, page)],
                 kbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * j],
             ))
             out.append(pltpu.make_async_copy(
-                v_hbm.at[hh, pl.ds(base, page)],
+                v_hbm.at[h, pl.ds(base, page)],
                 vbuf.at[slot, pl.ds(off, page)], sem.at[slot, 2 * j + 1],
             ))
         return out
 
-    def tile_dmas(slot, t):
-        return tile_dmas_for(b, h, npages, slot, t)
-
-    if ring:
-        # Ring hand-off: the previous program prefetched our first `pref`
-        # tiles starting at slot `base_off`; issue only the remainder.  The
-        # first program of the grid owns uninitialized SMEM — mask it out.
-        is_first = (b == 0) & (h == 0)
-        base_off = jnp.where(is_first, 0, lax.rem(ring_state[0], jnp.int32(_NBUF)))
-        pref = jnp.where(is_first, 0, jnp.clip(ring_state[1], 0, _NBUF))
-    else:
-        base_off = jnp.int32(0)
-        pref = jnp.int32(0)
-
-    # warm up: fill the pipeline (skipping ring-prefetched tiles)
+    # warm up: fill the pipeline
     for t0 in range(_NBUF):
-        @pl.when((t0 < ntiles) & (t0 >= pref))
+        @pl.when(t0 < ntiles)
         def _():
-            for dma in tile_dmas(lax.rem(base_off + t0, jnp.int32(_NBUF)),
-                                 jnp.int32(t0)):
+            for dma in tile_dmas(jnp.int32(t0), jnp.int32(t0)):
                 dma.start()
 
     acc[...] = jnp.zeros_like(acc)
@@ -332,7 +313,7 @@ def _kernel(
     nsplit = _SPLIT if (flat and _SPLIT > 1 and tile % (_SPLIT * 128) == 0) else 1
 
     def body(t, _):
-        slot = lax.rem(base_off + t, jnp.int32(_NBUF))
+        slot = lax.rem(t, jnp.int32(_NBUF))
         for dma in tile_dmas(slot, t):
             dma.wait()
 
@@ -473,39 +454,6 @@ def _kernel(
 
     lax.fori_loop(jnp.int32(0), ntiles, body, 0)
 
-    if ring:
-        # Epilogue prefetch: start the NEXT (b, h) program's first tiles into
-        # the slots it will consume first (the ring rotation continues across
-        # the program boundary), overlapping its pipeline fill with this
-        # program's final reduction/divide below.  The last NBUF tiles of
-        # this program started no refills, so those slots are consumed and
-        # free by the time the loop exits.
-        nb = pl.num_programs(0)
-        nh = pl.num_programs(1)
-        wrap = h + 1 == nh
-        b2 = jnp.where(wrap, b + 1, b)
-        h2 = jnp.where(wrap, 0, h + 1)
-        is_last = b2 >= nb
-        b2 = jnp.minimum(b2, nb - 1)
-        clen2 = clen_ref[b2]
-        qstart2 = qstart_ref[b2]
-        kv_limit2 = jnp.minimum(clen2, qstart2 + jnp.int32(L))
-        npages2 = lax.div(kv_limit2 + jnp.int32(page - 1), jnp.int32(page))
-        ntiles2 = lax.div(npages2 + jnp.int32(pp - 1), jnp.int32(pp))
-        new_off = lax.rem(base_off + ntiles, jnp.int32(_NBUF))
-        npf = jnp.where(is_last, 0, jnp.minimum(jnp.int32(_NBUF), ntiles2))
-        for j in range(_NBUF):
-            @pl.when(j < npf)
-            def _():
-                for dma in tile_dmas_for(
-                    b2, h2, npages2,
-                    lax.rem(new_off + jnp.int32(j), jnp.int32(_NBUF)),
-                    jnp.int32(j),
-                ):
-                    dma.start()
-        ring_state[0] = new_off
-        ring_state[1] = npf
-
     if flat:
         # one cross-lane reduction for the whole program
         l = jnp.sum(p_sum[...], axis=1, keepdims=True)
@@ -598,6 +546,10 @@ def _kernel_fused(
     row = lax.broadcasted_iota(jnp.int32, (GL, 1), 0)
     qpos = qstart + lax.rem(row, jnp.int32(L))
 
+    # Intra-tile ILP split, same rule as _kernel: flat path only (the online
+    # m_i/alpha chain is sequential across columns), whole-lane chunks.
+    nsplit = _SPLIT if (flat and _SPLIT > 1 and tile % (_SPLIT * 128) == 0) else 1
+
     def body(t, _):
         h = lax.div(t, ntiles)
         tt = t - h * ntiles
@@ -615,65 +567,130 @@ def _kernel_fused(
                 l_i[...] = jnp.zeros_like(l_i)
 
         q = q_ref[pl.ds(h, 1)].reshape(GL, D)
-        k = kbuf[slot].astype(q.dtype)
-        v = vbuf[slot].astype(q.dtype)
-        s = lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [GL, TILE] f32, exp2 domain
-        if scaled:
-            s = s * ks_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)].reshape(1, tile)
-
-        if flat:
-            def update(sv):
-                p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
-                p_sum[...] += p_ij
-                if scaled:
-                    pv = (
-                        p_ij
-                        * vs_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)]
-                        .reshape(1, tile)
-                    ).astype(q.dtype)
-                else:
-                    pv = p_ij.astype(q.dtype)
-                acc[...] += lax.dot_general(
-                    pv, v,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        else:
-            def update(sv):
-                m_new = jnp.maximum(m_i[...], jnp.max(sv, axis=1, keepdims=True))
-                alpha = jnp.exp2(m_i[...] - m_new)
-                p_ij = jnp.exp2(sv - m_new)
-                l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
-                if scaled:
-                    pv = (
-                        p_ij
-                        * vs_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)]
-                        .reshape(1, tile)
-                    ).astype(q.dtype)
-                else:
-                    pv = p_ij.astype(q.dtype)
-                acc[...] = acc[...] * alpha + lax.dot_general(
-                    pv, v,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                m_i[...] = m_new
-
         is_full = ((tt + 1) * tile <= qstart + 1) & ((tt + 1) * tile <= clen)
 
-        @pl.when(is_full)
-        def _():
-            update(s)
+        if nsplit > 1:
+            # per-chunk score -> exp2/p_sum -> pv chains so Mosaic overlaps
+            # chunk c+1's score matmul (MXU) with chunk c's exp2/sum (VPU)
+            CW = tile // nsplit
 
-        @pl.when(~is_full)
-        def _():
-            key_abs = tt * tile + lax.broadcasted_iota(jnp.int32, (GL, tile), 1)
-            mask = (key_abs <= qpos) & (key_abs < clen)
-            update(jnp.where(mask, s, _NEG_INF))
+            def chunk_scores():
+                out = []
+                for c in range(nsplit):
+                    kc = kbuf[slot, pl.ds(c * CW, CW)].astype(q.dtype)
+                    sc = lax.dot_general(
+                        q, kc,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [GL, CW] f32, exp2 domain
+                    if scaled:
+                        sc = sc * ks_ref[
+                            pl.ds(h, 1), :, pl.ds(tt * tile + c * CW, CW)
+                        ].reshape(1, CW)
+                    out.append(sc)
+                return out
+
+            def update_chunks(svs):
+                parts = []
+                for c, sv in enumerate(svs):
+                    p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+                    p_sum[:, c * CW : (c + 1) * CW] += p_ij
+                    if scaled:
+                        pv = (
+                            p_ij
+                            * vs_ref[
+                                pl.ds(h, 1), :, pl.ds(tt * tile + c * CW, CW)
+                            ].reshape(1, CW)
+                        ).astype(q.dtype)
+                    else:
+                        pv = p_ij.astype(q.dtype)
+                    vc = vbuf[slot, pl.ds(c * CW, CW)].astype(q.dtype)
+                    parts.append(lax.dot_general(
+                        pv, vc,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ))
+                total_pv = parts[0]
+                for p in parts[1:]:
+                    total_pv = total_pv + p
+                acc[...] += total_pv
+
+            @pl.when(is_full)
+            def _():
+                update_chunks(chunk_scores())
+
+            @pl.when(~is_full)
+            def _():
+                svs = chunk_scores()
+                masked = []
+                for c, sv in enumerate(svs):
+                    key_abs = (
+                        tt * tile + c * CW
+                        + lax.broadcasted_iota(jnp.int32, (GL, CW), 1)
+                    )
+                    mask = (key_abs <= qpos) & (key_abs < clen)
+                    masked.append(jnp.where(mask, sv, _NEG_INF))
+                update_chunks(masked)
+        else:
+            k = kbuf[slot].astype(q.dtype)
+            v = vbuf[slot].astype(q.dtype)
+            s = lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [GL, TILE] f32, exp2 domain
+            if scaled:
+                s = s * ks_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)].reshape(
+                    1, tile
+                )
+
+            if flat:
+                def update(sv):
+                    p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+                    p_sum[...] += p_ij
+                    if scaled:
+                        pv = (
+                            p_ij
+                            * vs_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)]
+                            .reshape(1, tile)
+                        ).astype(q.dtype)
+                    else:
+                        pv = p_ij.astype(q.dtype)
+                    acc[...] += lax.dot_general(
+                        pv, v,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            else:
+                def update(sv):
+                    m_new = jnp.maximum(m_i[...], jnp.max(sv, axis=1, keepdims=True))
+                    alpha = jnp.exp2(m_i[...] - m_new)
+                    p_ij = jnp.exp2(sv - m_new)
+                    l_i[...] = alpha * l_i[...] + jnp.sum(p_ij, axis=1, keepdims=True)
+                    if scaled:
+                        pv = (
+                            p_ij
+                            * vs_ref[pl.ds(h, 1), :, pl.ds(tt * tile, tile)]
+                            .reshape(1, tile)
+                        ).astype(q.dtype)
+                    else:
+                        pv = p_ij.astype(q.dtype)
+                    acc[...] = acc[...] * alpha + lax.dot_general(
+                        pv, v,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    m_i[...] = m_new
+
+            @pl.when(is_full)
+            def _():
+                update(s)
+
+            @pl.when(~is_full)
+            def _():
+                key_abs = tt * tile + lax.broadcasted_iota(jnp.int32, (GL, tile), 1)
+                mask = (key_abs <= qpos) & (key_abs < clen)
+                update(jnp.where(mask, s, _NEG_INF))
 
         @pl.when(t + _NBUF < total)
         def _():
@@ -750,13 +767,17 @@ def paged_attention_pallas(
         )
     )
 
-    # Fused-heads path for SMALL grids: all KH heads in one program per
-    # sequence (measured on v5e: B=1 ctx=1k drops 0.080 -> ~0.06 ms because
-    # the per-program pipeline fill dominates 4 tiny programs; at B >= 4 the
-    # (B, KH) grid already amortizes it and per-head programs win).  Needs
-    # all heads' q rows resident in VMEM.
+    # Fused-heads streaming path: all KH heads in one program per sequence,
+    # the DMA pipeline crossing head boundaries without draining.  Round 2
+    # gated this to B*KH <= 8 off a pre-split measurement ("at B >= 4
+    # per-head wins"); the round-4 same-day A/B with the intra-tile split
+    # added to the fused loop reversed that everywhere it fits (L=32:
+    # B=8/1k 178 -> 123 us, B=16/1k 269 -> 212, B=8/4k 386 -> 217 = 2.7x
+    # HBM roof; L=64: B=1/8k 105 -> 90 us), so the fused stream is now the
+    # default whenever all heads' q rows fit in VMEM; the per-head (B, KH)
+    # grid remains for KH*GL > MAX_Q_ROWS (e.g. L=128 blocks at G=7).
     fused = (
-        B * KH <= int(_os.environ.get("JF_PA_FUSEH_MAX", "8"))
+        B * KH <= int(_os.environ.get("JF_PA_FUSEH_MAX", "1024"))
         and KH * GL <= MAX_Q_ROWS
         and _os.environ.get("JF_PA_FUSEH", "1") != "0"
     )
@@ -796,9 +817,6 @@ def paged_attention_pallas(
                 pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, *_: (b, h, 0, 0)),
             ]
 
-    # Cross-program DMA ring: per-head kernel only (the fused path's loop
-    # already crosses head boundaries without draining within a program).
-    use_ring = _RING and not fused
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,) if fused else (B, KH),
@@ -810,7 +828,7 @@ def paged_attention_pallas(
         ),
         scratch_shapes=_scratch_shapes(
             GL, D, pp * page_size, k_cache_l.dtype, flat, pp=pp,
-            q_dtype=q.dtype, ring=use_ring,
+            q_dtype=q.dtype,
         ),
     )
 
@@ -837,7 +855,6 @@ def paged_attention_pallas(
                 vs_ref.at[0, 0] if scaled else None,
                 o_ref.at[0, 0], *scratch,
                 page=page_size, L=L, scaled=scaled, pp=pp, flat=flat,
-                ring=use_ring,
             )
 
     out = pl.pallas_call(

@@ -364,11 +364,11 @@ def test_kernel_split_path_matches_xla(monkeypatch, pp, split):
     path, which the PAGE=16 tests above can never reach (tile % (SPLIT*128)
     != 0 there).  Recreate the activating geometry in interpret mode —
     PAGE=256 with pp=2 (tile 512, SPLIT=4) and pp=4 (tile 1024, SPLIT=8) —
-    on the per-head kernel (the fused-heads path has no split), with ragged
-    tails so both the full-tile fast path and the masked tail run.  Scaled
-    (quantized-KV) callers are dispatched to online softmax before the split
-    guard (`flat = ... and not scaled`), so the split has no scaled variant
-    to cover."""
+    on the per-head kernel, with ragged tails so both the full-tile fast
+    path and the masked tail run.  Scaled (quantized-KV) callers are
+    dispatched to online softmax before the split guard
+    (`flat = ... and not scaled`), so the split has no scaled variant to
+    cover.  The fused-heads variant is covered separately below."""
     from jacobiforcing_tpu.ops.pallas import paged_attention as pa
 
     monkeypatch.setattr(pa, "_PP_ENV", pp)
@@ -402,17 +402,57 @@ def test_kernel_split_path_matches_xla(monkeypatch, pp, split):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("softmax", ["flat", "online"])
-def test_kernel_dma_ring_matches_xla(monkeypatch, softmax):
-    """Cross-program persistent DMA ring (JF_PA_RING): each program's
-    epilogue prefetches the next (b, h) program's first tiles, carrying slot
-    offset + prefetched count in SMEM across the sequential grid.  Parity on
-    a multi-program grid with RAGGED lengths (different ntiles per program
-    exercises the rotating hand-off) vs the XLA reference."""
+@pytest.mark.parametrize("pp,split", [("2", 4), ("4", 8)])
+def test_kernel_fused_split_path_matches_xla(monkeypatch, pp, split):
+    """Fused-heads variant of the split parity test above: the fused kernel
+    streams the flattened (head, tile) sequence in one program per b, and its
+    flat path now runs the same per-chunk score->exp2->pv chains.  Geometry
+    keeps B*KH inside the fused gate and activates the split (tile 512/1024);
+    ragged lengths cover the masked-tail chunks, including a mid-head tile
+    boundary (head transition with tt==0 accumulator reset between chunks)."""
     from jacobiforcing_tpu.ops.pallas import paged_attention as pa
 
-    monkeypatch.setattr(pa, "_RING", True)
-    monkeypatch.setenv("JF_PA_FUSEH", "0")  # ring lives on the per-head path
+    monkeypatch.setattr(pa, "_PP_ENV", pp)
+    monkeypatch.setattr(pa, "_SPLIT", split)
+    monkeypatch.setenv("JF_PA_FUSEH", "1")
+    BIGPAGE = 256
+    B, L, NH, KH, D = 2, 4, 4, 2, 32
+    pages_per_seq, num_pages = 4, 8
+    r = np.random.RandomState(7)
+    q = jnp.asarray(r.randn(B, L, NH, D), jnp.float32)
+    k = jnp.asarray(r.randn(KH, num_pages * BIGPAGE, D), jnp.float32)
+    v = jnp.asarray(r.randn(KH, num_pages * BIGPAGE, D), jnp.float32)
+    bt = np.zeros((B, pages_per_seq), np.int32)
+    for b in range(B):
+        bt[b] = np.arange(b * pages_per_seq, (b + 1) * pages_per_seq)
+    bt = jnp.asarray(bt)
+    cache_lens = jnp.asarray([300, 1024], jnp.int32)
+    positions = (cache_lens - L)[:, None] + jnp.arange(L)[None, :]
+    scale = 1.0 / np.sqrt(D)
+
+    tile = int(pp) * BIGPAGE
+    assert tile % (split * 128) == 0, "geometry must activate the split"
+    assert B * KH <= 8, "geometry must stay on the fused-heads path"
+    ref = paged_attention_xla(
+        q, k, v, bt, cache_lens, positions, scale, page_size=BIGPAGE
+    )
+    out = paged_attention_pallas(
+        q, k, v, bt, cache_lens, positions, scale, page_size=BIGPAGE,
+        interpret=True, softmax="flat",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("softmax", ["flat", "online"])
+def test_kernel_perhead_ragged_matches_xla(monkeypatch, softmax):
+    """Per-head (B, KH)-grid kernel parity on ragged lengths.  The fused
+    streaming path is now the default wherever KH*GL fits VMEM, so this
+    forces the per-head fallback (the KH*GL > MAX_Q_ROWS regime, e.g. L=128
+    blocks) to keep it covered on a multi-program grid with different ntiles
+    per program."""
+    from jacobiforcing_tpu.ops.pallas import paged_attention as pa
+
+    monkeypatch.setenv("JF_PA_FUSEH", "0")  # force the per-head fallback
     B, L, NH, KH, D = 3, 4, 4, 2, 32
     pages_per_seq, num_pages = 6, 32
     r = np.random.RandomState(11)
