@@ -117,14 +117,14 @@ def main():
     eos = jnp.zeros((B,), bool)
     iters0 = jnp.zeros((B,), jnp.int32)
     capacity = jnp.full((B,), pages_per_seq * page, jnp.int32)
-    max_new = jnp.full((B,), budget, jnp.int32)
+    len_limit = jnp.full((B,), ctx + budget, jnp.int32)  # absolute
 
     def chunk(kv, tokens):
         # real device-resident decode loop; a random model commits ~1 tok/iter
         # so one chunk call runs ~`budget` full Jacobi iterations
         return runner.jacobi_chunk_greedy(
             params, cfg, rope, kv, tokens, cur_len, draft, eos, iters0,
-            block_tables, capacity, max_new, jax.random.PRNGKey(1), -1,
+            block_tables, capacity, len_limit, jax.random.PRNGKey(1), -1,
             jnp.full((B,), budget + 8, jnp.int32),
             chunk_budget=budget,
         )
@@ -259,7 +259,7 @@ def batch8_w8a8_tps(B: int = 8, ctx: int = 512, L: int = 64) -> float:
             params, cfg, rope, kv, tokens, jnp.full((B,), ctx, jnp.int32),
             jnp.ones((B, L), jnp.int32), jnp.zeros((B,), bool),
             jnp.zeros((B,), jnp.int32), bt, jnp.full((B,), pps * page, jnp.int32),
-            jnp.full((B,), budget, jnp.int32), jax.random.PRNGKey(1), -1,
+            jnp.full((B,), ctx + budget, jnp.int32), jax.random.PRNGKey(1), -1,
             jnp.full((B,), budget + 8, jnp.int32), chunk_budget=budget,
         )
 

@@ -22,6 +22,7 @@ batch measures the bench's finite request list, not the engine.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -85,6 +86,8 @@ def run_engine_bench(
         prefill_token_buckets=(
             prefill_buckets if prefill_buckets else (prompt_len + 2 * L,)
         ),
+        # A/B knob for the speculative host pipeline (defaults on)
+        jacobi_async_host=os.environ.get("JF_ASYNC_HOST", "1") != "0",
         eos=-1,
     )
     pages_per_seq = (

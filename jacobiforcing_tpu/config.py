@@ -84,6 +84,14 @@ class Config:
     # tokens-per-forward variance (measured 0.45 -> ~1.0 at B=8); tokens
     # committed per chunk become variable (<= chunk_iters * block_len).
     jacobi_chunk_iters: int = 0
+    # Speculative host pipeline: dispatch Jacobi chunk k+1 from chunk k's
+    # device output handles BEFORE reading chunk k back, so the host<->device
+    # round trip (~30 ms over a tunneled backend) overlaps chunk k+1's device
+    # execution instead of idling the chip.  Exactness-preserving: every
+    # finish condition (EOS / token limit / iteration budget / KV capacity)
+    # is mirrored in-kernel, so a pending chunk's rows for already-finished
+    # sequences are inert; commits (and finish detection) lag one chunk.
+    jacobi_async_host: bool = True
 
     enforce_eager: bool = False
     seed: int = 0

@@ -35,6 +35,19 @@ from jacobiforcing_tpu.ops.kv_cache import alloc_kv_cache
 from jacobiforcing_tpu.utils.profiling import get_profiler
 
 
+class _PendingChunk:
+    """One dispatched-but-unread Jacobi chunk (speculative host pipeline)."""
+
+    __slots__ = ("res", "seqs", "expected_lens", "iters0", "nongreedy")
+
+    def __init__(self, res, seqs, expected_lens, iters0, nongreedy):
+        self.res = res
+        self.seqs = seqs
+        self.expected_lens = expected_lens
+        self.iters0 = iters0
+        self.nongreedy = nongreedy
+
+
 def _bucket(n: int, buckets: PySeq[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -191,6 +204,9 @@ class LLMEngine:
             "ar_steps": 0, "chunk_calls": 0, "chunk_forwards": 0,
         }
         self._mr_policies: Dict[tuple, Any] = {}
+        # outstanding speculative decode chunks by group signature
+        # (see _jacobi_chunk: one-chunk-lag host commit)
+        self._pending: Dict[tuple, _PendingChunk] = {}
 
     # ------------------------------------------------------------------
     def _pages_from_hbm(self, page: int, kv_dtype) -> int:
@@ -313,16 +329,45 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def step(self) -> List[Sequence]:
         seqs, is_prefill = self.scheduler.schedule()
+        flushed: List[Sequence] = []
         if not seqs:
+            if self._pending:
+                # drain: commit outstanding speculative chunks so their
+                # sequences can retire (the scheduler sees finishes only
+                # after commits land)
+                flushed = self._flush_pending()
+                self.scheduler.postprocess(flushed)
+                return [s for s in flushed if s.is_finished]
             return []
         max_b = self.config.batch_buckets[-1]
         if is_prefill:
+            if self._pending:
+                # commit before backfill: the decode groups change membership
+                # after this prefill, so land their pending work now (and let
+                # any finish free pages first)
+                flushed = self._flush_pending()
+                self.scheduler.postprocess(flushed)
             for i in range(0, len(seqs), max_b):
                 self._run_prefill(seqs[i : i + max_b])
         else:
             self._run_decode(seqs)
         self.scheduler.postprocess(seqs)
-        return [s for s in seqs if s.is_finished]
+        # a pending chunk whose sequences ALL retired this step is provably
+        # inert (every finish condition is mirrored in-kernel): drop it so
+        # the engine ends clean instead of flushing zero tokens at drain
+        for sig in list(self._pending):
+            if all(
+                s.status is not SequenceStatus.RUNNING
+                for s in self._pending[sig].seqs
+            ):
+                del self._pending[sig]
+        finished = [s for s in seqs if s.is_finished]
+        if flushed:
+            in_batch = set(id(s) for s in seqs)
+            finished += [
+                s for s in flushed if s.is_finished and id(s) not in in_batch
+            ]
+        return finished
 
     # ------------------------------------------------------------------
     def _pad_block_table(self, seqs: List[Sequence], B: int) -> jnp.ndarray:
@@ -568,6 +613,183 @@ class LLMEngine:
             self.stats["generated_tokens"] += 1
         self.stats["ar_steps"] += 1
 
+    # -- speculative host pipeline ------------------------------------------
+    # The Jacobi chunk is a pure device-state transition: every non-chunk-
+    # relative input is either carried in `res` (tokens/cur_len/draft/eos/
+    # iters/kv) or invariant across chunks (len_limit = prompt+max_tokens
+    # absolute, max_iters, temps) or host-rebuildable smalls (block tables,
+    # capacity).  So the engine can dispatch chunk k+1 from chunk k's OUTPUT
+    # HANDLES before reading chunk k back: the ~30 ms tunnel round trip of
+    # the readback then overlaps chunk k+1's device execution instead of
+    # idling the chip (one-chunk-lag host commit — the serving-engine analog
+    # of double-buffered stepping).  Safety: every finish condition (EOS,
+    # len_limit, max_iters, capacity) is mirrored in-kernel, so the pending
+    # chunk's rows for host-finished sequences are provably inert; a dropped
+    # pending loses only uncommitted work, never correctness.  The reference
+    # has no equivalent (its host loop blocks on every forward,
+    # inference_engine/engine/llm_engine.py:86-140).
+
+    def _chunk_sig(self, seqs, L, eos_id, nongreedy, top_k, use_top_p):
+        return (
+            tuple(s.seq_id for s in seqs), L, eos_id, nongreedy, top_k,
+            use_top_p,
+        )
+
+    def _dispatch_chunk(
+        self, seqs, L, eos_id, nongreedy, top_k, use_top_p, handles=None
+    ):
+        """Dispatch one Jacobi chunk; carried state comes from `handles`
+        (device arrays of the previous chunk's `res`) or is host-built."""
+        B = _bucket(len(seqs), self.config.batch_buckets)
+        capacity = np.zeros((B,), np.int32)
+        len_limit = np.zeros((B,), np.int32)
+        temps = np.ones((B,), np.float32)
+        top_ps = np.ones((B,), np.float32)
+        max_iters_arr = np.ones((B,), np.int32)
+        for i, s in enumerate(seqs):
+            capacity[i] = min(
+                self.block_manager.capacity_tokens(s), self.cap_tokens - 1
+            )
+            # absolute limit (= prompt_len + max_tokens): chunk-invariant, so
+            # a speculative redispatch needs no budget rebuild even though it
+            # cannot know the pending chunk's commits yet
+            len_limit[i] = len(s) + max(0, s.max_tokens - s.num_completion_tokens)
+            temps[i] = s.sampling_params.temperature
+            top_ps[i] = s.sampling_params.top_p
+            max_iters_arr[i] = min(s.sampling_params.jacobi_max_iterations, 2**30)
+
+        if handles is not None:
+            tokens = handles["tokens"]
+            cur_len = handles["cur_len"]
+            draft = handles["draft"]
+            eos = handles["eos"]
+            iters = handles["iters"]
+        else:
+            tokens = np.zeros((B, self.cap_tokens), np.int32)
+            cur_len = np.ones((B,), np.int32)
+            eos = np.ones((B,), bool)  # padding rows inert
+            iters = np.zeros((B,), np.int32)
+            draft = np.zeros((B, L), np.int32)
+            for i, s in enumerate(seqs):
+                n = len(s)
+                tokens[i, :n] = s.token_ids
+                cur_len[i] = n
+                eos[i] = False
+                iters[i] = s.jacobi_iters
+                if s.draft is not None:
+                    draft[i] = s.draft
+                    draft[i, 0] = s.last_token
+                else:
+                    draft[i, 0] = s.last_token
+                    pf = s.prefill_draft
+                    ncopy = 0
+                    if pf is not None:
+                        ncopy = min(len(pf), L - 1)
+                        draft[i, 1 : 1 + ncopy] = pf[:ncopy]
+                        s.prefill_draft = None
+                    if ncopy < L - 1:
+                        draft[i, 1 + ncopy :] = self.rng.randint(
+                            0, self.model_cfg.vocab_size, L - 1 - ncopy
+                        )
+            tokens = jnp.asarray(tokens)
+            cur_len = jnp.asarray(cur_len)
+            draft = jnp.asarray(draft)
+            eos = jnp.asarray(eos)
+            iters = jnp.asarray(iters)
+
+        bt = self._pad_block_table(seqs, B)
+        prof = get_profiler()
+        if prof:
+            prof.record_bucket(
+                "jacobi_nongreedy" if nongreedy else "jacobi", (B, L)
+            )
+        if nongreedy:
+            res = runner.jacobi_chunk_nongreedy(
+                self.params, self.model_cfg, self.rope, self.kv,
+                tokens, cur_len, draft, eos, iters, bt, jnp.asarray(capacity),
+                jnp.asarray(len_limit), jnp.asarray(temps), jnp.asarray(top_ps),
+                self._next_key(), eos_id, jnp.asarray(max_iters_arr),
+                chunk_budget=self.config.jacobi_chunk_tokens,
+                chunk_iters=self.config.jacobi_chunk_iters,
+                top_k=top_k, use_top_p=use_top_p,
+            )
+        else:
+            res = runner.jacobi_chunk_greedy(
+                self.params, self.model_cfg, self.rope, self.kv,
+                tokens, cur_len, draft, eos, iters, bt, jnp.asarray(capacity),
+                jnp.asarray(len_limit), self._next_key(), eos_id,
+                jnp.asarray(max_iters_arr),
+                chunk_budget=self.config.jacobi_chunk_tokens,
+                chunk_iters=self.config.jacobi_chunk_iters,
+            )
+        self.kv = res["kv"]
+        return res
+
+    def _commit_chunk(self, pending: "_PendingChunk") -> None:
+        """Read one dispatched chunk back and commit its tokens to the host
+        Sequence mirrors.  Valid whenever each sequence is still RUNNING with
+        an unchanged committed length (no external mutation since dispatch);
+        other rows are skipped — their device rows were inert or their work
+        is deliberately discarded (preemption)."""
+        res = pending.res
+        prof = get_profiler()
+        if prof:
+            prof.start("forward")
+        # ONE batched transfer: each fresh per-array readback pays a full
+        # host<->device round trip (~30 ms over the TPU tunnel), so five
+        # sequential np.asarray calls cost ~150 ms per engine step — measured
+        # as the bulk of the engine-vs-raw-runner throughput gap
+        # (scripts/probe_host_boundary.py, probe_engine_shapes.py).  The
+        # committed tokens come back as the compact [B, W] chunk window
+        # (runner._commit_window), not the [B, cap] buffer: the tunnel also
+        # charges ~40 us/KB of payload, so the full buffer adds 10-20 ms per
+        # chunk at 8k caps.
+        window, starts, cur_out, iters_out, draft_out, gen = jax.device_get(
+            (res["new_tokens"], res["win_start"], res["cur_len"],
+             res["iters"], res["draft"], res["generated"])
+        )
+        if prof:
+            prof.stop("forward")
+        iters0 = pending.iters0
+        n = len(pending.seqs)
+        for i, s in enumerate(pending.seqs):
+            if (
+                s.status is not SequenceStatus.RUNNING
+                or len(s) != pending.expected_lens[i]
+            ):
+                continue
+            off = len(s) - starts[i]
+            new = window[i, off : off + (cur_out[i] - len(s))].tolist()
+            s.extend_tokens(new)
+            s.num_cached_tokens = len(s) - 1
+            s.draft = draft_out[i]
+            s.jacobi_iters = int(iters_out[i])
+            self.stats["generated_tokens"] += int(gen[i])
+        if prof:
+            prof.add_tokens(int(gen[:n].sum()))
+            prof.add_iteration(int(iters_out[:n].sum() - iters0[:n].sum()))
+        self.stats["jacobi_iterations"] += int(
+            iters_out[:n].sum() - iters0[:n].sum()
+        )
+        # device while-loop trips this chunk = the slowest row's iterations
+        # (rows that finish early ride along inactive) — separates per-forward
+        # time from batch-occupancy effects in profiling
+        self.stats["chunk_forwards"] += int(
+            (iters_out[:n] - iters0[:n]).max(initial=0)
+        )
+        self.stats["chunk_calls"] += 1
+
+    def _flush_pending(self) -> List[Sequence]:
+        """Commit every outstanding speculative chunk (drain / before prefill
+        / group change).  Returns the sequences whose state may have changed
+        so the caller can postprocess them."""
+        touched: List[Sequence] = []
+        for pending in self._pending.values():
+            self._commit_chunk(pending)
+            touched.extend(pending.seqs)
+        self._pending.clear()
+        return touched
+
     def _jacobi_chunk(
         self,
         seqs: List[Sequence],
@@ -578,105 +800,53 @@ class LLMEngine:
         top_k: int = -1,
         use_top_p: bool = False,
     ) -> None:
+        use_async = self.config.jacobi_async_host
+        sig = self._chunk_sig(seqs, L, eos_id, nongreedy, top_k, use_top_p)
+        pending = self._pending.pop(sig, None)
+        valid = pending is not None and all(
+            s.status is SequenceStatus.RUNNING and len(s) == el
+            for s, el in zip(pending.seqs, pending.expected_lens)
+        )
+        if use_async and valid:
+            # dispatch chunk k+1 from chunk k's output handles, THEN read
+            # chunk k back — the readback overlaps k+1's device execution
+            handles = {
+                k: pending.res[k]
+                for k in ("tokens", "cur_len", "draft", "eos", "iters")
+            }
+            res = self._dispatch_chunk(
+                seqs, L, eos_id, nongreedy, top_k, use_top_p, handles=handles
+            )
+            self._commit_chunk(pending)
+            self._pending[sig] = _PendingChunk(
+                res, list(seqs), [len(s) for s in seqs],
+                np.asarray([s.jacobi_iters for s in seqs]
+                           + [0] * (len(pending.iters0) - len(seqs))),
+                nongreedy,
+            )
+            return
+        if pending is not None:
+            self._commit_chunk(pending)
+        if self._pending:
+            # group membership changed (finish without backfill, preemption,
+            # strategy mix change): recover other groups' pending work before
+            # their mirrors drift
+            self._flush_pending()
         B = _bucket(len(seqs), self.config.batch_buckets)
-        tokens = np.zeros((B, self.cap_tokens), np.int32)
-        cur_len = np.ones((B,), np.int32)
-        eos = np.ones((B,), bool)  # padding rows inert
-        iters = np.zeros((B,), np.int32)
-        capacity = np.zeros((B,), np.int32)
-        max_new = np.zeros((B,), np.int32)
-        draft = np.zeros((B, L), np.int32)
-        temps = np.ones((B,), np.float32)
-        top_ps = np.ones((B,), np.float32)
-        max_iters_arr = np.ones((B,), np.int32)
-
+        iters0 = np.zeros((B,), np.int32)
         for i, s in enumerate(seqs):
-            n = len(s)
-            tokens[i, :n] = s.token_ids
-            cur_len[i] = n
-            eos[i] = False
-            iters[i] = s.jacobi_iters
-            capacity[i] = min(
-                self.block_manager.capacity_tokens(s), self.cap_tokens - 1
-            )
-            max_new[i] = max(0, s.max_tokens - s.num_completion_tokens)
-            temps[i] = s.sampling_params.temperature
-            top_ps[i] = s.sampling_params.top_p
-            max_iters_arr[i] = min(s.sampling_params.jacobi_max_iterations, 2**30)
-            if s.draft is not None:
-                draft[i] = s.draft
-                draft[i, 0] = s.last_token
-            else:
-                draft[i, 0] = s.last_token
-                pf = s.prefill_draft
-                ncopy = 0
-                if pf is not None:
-                    ncopy = min(len(pf), L - 1)
-                    draft[i, 1 : 1 + ncopy] = pf[:ncopy]
-                    s.prefill_draft = None
-                if ncopy < L - 1:
-                    draft[i, 1 + ncopy :] = self.rng.randint(
-                        0, self.model_cfg.vocab_size, L - 1 - ncopy
-                    )
-
-        bt = self._pad_block_table(seqs, B)
-        prof = get_profiler()
-        if prof:
-            prof.record_bucket(
-                "jacobi_nongreedy" if nongreedy else "jacobi", (B, L)
-            )
-            prof.start("forward")
-        if nongreedy:
-            res = runner.jacobi_chunk_nongreedy(
-                self.params, self.model_cfg, self.rope, self.kv,
-                jnp.asarray(tokens), jnp.asarray(cur_len), jnp.asarray(draft),
-                jnp.asarray(eos), jnp.asarray(iters), bt, jnp.asarray(capacity),
-                jnp.asarray(max_new), jnp.asarray(temps), jnp.asarray(top_ps),
-                self._next_key(), eos_id, jnp.asarray(max_iters_arr),
-                chunk_budget=self.config.jacobi_chunk_tokens,
-                chunk_iters=self.config.jacobi_chunk_iters,
-                top_k=top_k, use_top_p=use_top_p,
-            )
+            iters0[i] = s.jacobi_iters
+        res = self._dispatch_chunk(
+            seqs, L, eos_id, nongreedy, top_k, use_top_p, handles=None
+        )
+        rec = _PendingChunk(
+            res, list(seqs), [len(s) for s in seqs], iters0, nongreedy
+        )
+        if use_async:
+            # lag begins: this chunk's commits arrive on the next call/flush
+            self._pending[sig] = rec
         else:
-            res = runner.jacobi_chunk_greedy(
-                self.params, self.model_cfg, self.rope, self.kv,
-                jnp.asarray(tokens), jnp.asarray(cur_len), jnp.asarray(draft),
-                jnp.asarray(eos), jnp.asarray(iters), bt, jnp.asarray(capacity),
-                jnp.asarray(max_new), self._next_key(), eos_id,
-                jnp.asarray(max_iters_arr),
-                chunk_budget=self.config.jacobi_chunk_tokens,
-                chunk_iters=self.config.jacobi_chunk_iters,
-            )
-        self.kv = res["kv"]
-        # ONE batched transfer: each fresh per-array readback pays a full
-        # host<->device round trip (~30 ms over the TPU tunnel), so five
-        # sequential np.asarray calls cost ~150 ms per engine step — measured
-        # as the bulk of the engine-vs-raw-runner throughput gap
-        # (scripts/probe_host_boundary.py, probe_engine_shapes.py).
-        tokens_out, cur_out, iters_out, draft_out, gen = jax.device_get(
-            (res["tokens"], res["cur_len"], res["iters"], res["draft"],
-             res["generated"])
-        )
-        if prof:
-            prof.stop("forward")
-            prof.add_tokens(int(gen[: len(seqs)].sum()))
-            prof.add_iteration(int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum()))
-
-        for i, s in enumerate(seqs):
-            new = tokens_out[i, len(s) : cur_out[i]].tolist()
-            s.extend_tokens(new)
-            s.num_cached_tokens = len(s) - 1
-            s.draft = draft_out[i]
-            s.jacobi_iters = int(iters_out[i])
-            self.stats["generated_tokens"] += int(gen[i])
-        self.stats["jacobi_iterations"] += int(iters_out[: len(seqs)].sum() - iters[: len(seqs)].sum())
-        # device while-loop trips this chunk = the slowest row's iterations
-        # (rows that finish early ride along inactive) — separates per-forward
-        # time from batch-occupancy effects in profiling
-        self.stats["chunk_forwards"] += int(
-            (iters_out[: len(seqs)] - iters[: len(seqs)]).max(initial=0)
-        )
-        self.stats["chunk_calls"] += 1
+            self._commit_chunk(rec)
 
     # ------------------------------------------------------------------
     def _mr_dispatch(
@@ -955,6 +1125,7 @@ class LLMEngine:
     def exit(self) -> None:
         """Release device buffers (reference LLMEngine.exit joins workers and
         unlinks SharedMemory, llm_engine.py:59-78 — here just the KV pool)."""
+        self._pending.clear()
         self.kv = None
         self.params = None
         from jacobiforcing_tpu.parallel.mesh import get_serving_mesh, set_serving_mesh

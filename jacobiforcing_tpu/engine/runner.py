@@ -135,6 +135,25 @@ def ar_decode_step(
     return kv, next_tokens
 
 
+
+def _commit_window(tokens_in_len, state, L, chunk_budget, chunk_iters):
+    """Compact readback window: the tokens a chunk committed all lie in
+    [cur_len_at_entry, cur_len_at_entry + W) with a STATIC bound W, so the
+    host reads a [B, W] slice instead of the full [B, cap] buffer (264-528 KB
+    per chunk over a ~40 us/KB tunnel).  Returns (window [B, W], start [B])."""
+    cap = state.tokens.shape[1]
+    if chunk_iters > 0:
+        W = chunk_iters * (L - 1) + 1
+    else:
+        W = chunk_budget + L
+    W = min(W, cap)
+    start = jnp.minimum(tokens_in_len, jnp.int32(cap - W))
+    window = jax.vmap(
+        lambda row, st: lax.dynamic_slice(row, (st,), (W,))
+    )(state.tokens, start)
+    return window, start
+
+
 # ---------------------------------------------------------------------------
 # Jacobi greedy decode: one device-resident chunk
 # ---------------------------------------------------------------------------
@@ -153,18 +172,24 @@ class JacobiState(NamedTuple):
     key: jax.Array
 
 
-def _jacobi_cond(chunk_budget, max_iters, state: JacobiState, max_new, capacity):
+def _jacobi_cond(chunk_budget, max_iters, state: JacobiState, len_limit, capacity):
     # max_iters: per-seq LIFETIME iteration budgets [B] (dynamic — must match
     # the scheduler's per-request retirement bound or a stalled row livelocks)
     # chunk_budget None = iteration-budget chunking: rows are not token-capped
     # within the chunk (the while cond bounds device TRIPS instead), so no row
     # idles waiting for slower rows to consume a token budget.
+    # len_limit is ABSOLUTE (prompt_len + max_tokens), not remaining-from-now:
+    # every non-chunk-relative input is then invariant across chunk calls, so
+    # the engine can redispatch a chunk from carried device state without a
+    # host round trip (the speculative-dispatch fast path in llm_engine).
     L = state.draft.shape[1]
     can_fit = (state.cur_len - 1 + L) <= capacity
-    budget = max_new if chunk_budget is None else jnp.minimum(chunk_budget, max_new)
+    under_limit = state.cur_len < len_limit
+    if chunk_budget is not None:
+        under_limit &= state.generated < chunk_budget
     active = (
         (~state.eos)
-        & (state.generated < budget)
+        & under_limit
         & (state.iters < max_iters)
         & can_fit
         & (state.cur_len + L < state.tokens.shape[1])
@@ -175,7 +200,11 @@ def _jacobi_cond(chunk_budget, max_iters, state: JacobiState, max_new, capacity)
 @partial(
     jax.jit,
     static_argnames=("cfg", "chunk_budget", "chunk_iters"),
-    donate_argnames=("kv", "tokens"),
+    # kv is donated (in-place paged-cache update); tokens is NOT: the engine's
+    # speculative host pipeline dispatches chunk k+1 from chunk k's output
+    # handles BEFORE reading chunk k back, so the outputs must stay alive
+    # across the next dispatch (donating tokens would delete the buffer).
+    donate_argnames=("kv",),
 )
 def jacobi_chunk_greedy(
     params: Dict[str, Any],
@@ -189,7 +218,7 @@ def jacobi_chunk_greedy(
     iters: jax.Array,  # [B] iterations consumed so far for each request
     block_tables: jax.Array,  # [B, P]
     capacity: jax.Array,  # [B] = allocated pages * page_size
-    max_new: jax.Array,  # [B] remaining token budget for this chunk's requests
+    len_limit: jax.Array,  # [B] absolute token-count limit (prompt + max_tokens)
     key: jax.Array,
     eos_token_id: int | jax.Array,
     max_iters: jax.Array,  # [B] per-request lifetime iteration budgets
@@ -226,7 +255,7 @@ def jacobi_chunk_greedy(
     )
 
     def cond(state: JacobiState):
-        go = jnp.any(_jacobi_cond(budget, max_iters, state, max_new, capacity))
+        go = jnp.any(_jacobi_cond(budget, max_iters, state, len_limit, capacity))
         if chunk_iters > 0:
             # all active rows step together, so the max lifetime-iteration
             # delta counts this chunk's device trips
@@ -234,7 +263,7 @@ def jacobi_chunk_greedy(
         return go
 
     def body(state: JacobiState) -> JacobiState:
-        active = _jacobi_cond(budget, max_iters, state, max_new, capacity)
+        active = _jacobi_cond(budget, max_iters, state, len_limit, capacity)
         positions = (state.cur_len - 1)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
         cache_lens = state.cur_len - 1 + L
 
@@ -305,6 +334,7 @@ def jacobi_chunk_greedy(
         )
 
     state = lax.while_loop(cond, body, state)
+    window, win_start = _commit_window(cur_len, state, L, chunk_budget, chunk_iters)
     return {
         "kv": state.kv,
         "tokens": state.tokens,
@@ -313,6 +343,8 @@ def jacobi_chunk_greedy(
         "eos": state.eos,
         "generated": state.generated,
         "iters": state.iters,
+        "new_tokens": window,
+        "win_start": win_start,
     }
 
 
@@ -324,7 +356,7 @@ def jacobi_chunk_greedy(
 @partial(
     jax.jit,
     static_argnames=("cfg", "chunk_budget", "chunk_iters", "top_k", "use_top_p"),
-    donate_argnames=("kv", "tokens"),
+    donate_argnames=("kv",),  # tokens not donated: see jacobi_chunk_greedy
 )
 def jacobi_chunk_nongreedy(
     params: Dict[str, Any],
@@ -338,7 +370,7 @@ def jacobi_chunk_nongreedy(
     iters: jax.Array,  # [B]
     block_tables: jax.Array,
     capacity: jax.Array,
-    max_new: jax.Array,
+    len_limit: jax.Array,  # [B] absolute token-count limit
     temperature: jax.Array,  # [B] > 0
     top_p: jax.Array,  # [B] (ignored unless use_top_p)
     key: jax.Array,
@@ -376,7 +408,7 @@ def jacobi_chunk_nongreedy(
     )
 
     def cond(state: JacobiState):
-        go = jnp.any(_jacobi_cond(budget, max_iters, state, max_new, capacity))
+        go = jnp.any(_jacobi_cond(budget, max_iters, state, len_limit, capacity))
         if chunk_iters > 0:
             go &= jnp.max(state.iters - iters) < chunk_iters
         return go
@@ -384,7 +416,7 @@ def jacobi_chunk_nongreedy(
     def body(state: JacobiState) -> JacobiState:
         from jacobiforcing_tpu.ops.sampling import target_probs
 
-        active = _jacobi_cond(budget, max_iters, state, max_new, capacity)
+        active = _jacobi_cond(budget, max_iters, state, len_limit, capacity)
         positions = (state.cur_len - 1)[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
         cache_lens = state.cur_len - 1 + L
 
@@ -483,6 +515,7 @@ def jacobi_chunk_nongreedy(
         )
 
     state = lax.while_loop(cond, body, state)
+    window, win_start = _commit_window(cur_len, state, L, chunk_budget, chunk_iters)
     return {
         "kv": state.kv,
         "tokens": state.tokens,
@@ -491,6 +524,8 @@ def jacobi_chunk_nongreedy(
         "eos": state.eos,
         "generated": state.generated,
         "iters": state.iters,
+        "new_tokens": window,
+        "win_start": win_start,
     }
 
 

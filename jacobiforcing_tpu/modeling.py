@@ -76,7 +76,8 @@ def jacobi_generate_greedy(
     res = runner.jacobi_chunk_greedy(
         params, cfg, rope, kv, jnp.asarray(tokens), jnp.asarray([P], jnp.int32),
         draft, jnp.zeros((1,), bool), jnp.zeros((1,), jnp.int32), bt,
-        jnp.asarray([capacity], jnp.int32), jnp.asarray([max_new_tokens], jnp.int32),
+        jnp.asarray([capacity], jnp.int32),
+        jnp.asarray([P + max_new_tokens], jnp.int32),  # absolute len_limit
         jax.random.PRNGKey(seed + 1), eos_token_id,
         jnp.full((1,), max_iterations, jnp.int32),
         chunk_budget=max_new_tokens,

@@ -53,7 +53,7 @@ def run(tag, cap, bt_width, kv_pages, chunk_iters, budget=128):
             jnp.ones((B, L), jnp.int32), jnp.zeros((B,), bool),
             jnp.zeros((B,), jnp.int32), bt,
             jnp.full((B,), pps * PAGE, jnp.int32),
-            jnp.full((B,), budget, jnp.int32), jax.random.PRNGKey(1), -1,
+            jnp.full((B,), CTX + budget, jnp.int32), jax.random.PRNGKey(1), -1,
             jnp.full((B,), budget + 8, jnp.int32), chunk_budget=budget,
             chunk_iters=chunk_iters,
         )

@@ -67,10 +67,12 @@ def variant_runner(act_quant: bool, bucketed: bool, padded_bt: bool):
     starts = jnp.zeros((1,), jnp.int32)
     totals = jnp.full((1,), n_real, jnp.int32)
     plen = jnp.full((1,), T, jnp.int32)
-    kv = alloc_kv_cache(cfg.num_layers, pps + (0 if not padded_bt else 0) + 1,
-                        PAGE, cfg.num_kv_heads, cfg.head_dim)
 
     def run():
+        # runner.prefill donates kv — allocate fresh per call (same protocol
+        # as probe_prefill_e2e.py, so A reproduces its 370 ms number)
+        kv = alloc_kv_cache(cfg.num_layers, pps + 1, PAGE,
+                            cfg.num_kv_heads, cfg.head_dim)
         out = runner.prefill(params, cfg, rope, ids, starts, totals, plen,
                              kv, bt, n_out=L)
         return out[2]

@@ -108,7 +108,7 @@ def jacobi_generate_greedy(
         res = runner.jacobi_chunk_greedy(
             params, cfg, rope, kv, tokens, cur_len, draft, eos, iters,
             jnp.asarray(block_tables), jnp.asarray(capacity),
-            max_new_arr - produced, key,
+            jnp.asarray(lens, jnp.int32) + max_new_arr, key,  # absolute len_limit
             eos_token_id, jnp.full((B,), max_iters, jnp.int32),
             chunk_budget=chunk_budget,
         )

@@ -398,3 +398,54 @@ def test_mr_auto_policy_drift_reprobe():
     pol2.record(1, 300, 1.0, slots=1)   # 300 tok/slot/s
     pol2.record(2, 20, 1.0, slots=1)    # 20
     assert pol2.locked == 1
+
+
+@pytest.mark.parametrize("chunk_iters", [0, 3])
+def test_async_host_pipeline_exact_match(chunk_iters):
+    """Speculative host pipeline (config.jacobi_async_host): chunk k+1 is
+    dispatched from chunk k's device output handles before chunk k is read
+    back, so commits lag one chunk.  Exactness: R=12 requests over 4 slots
+    with staggered max_tokens forces backfills, group-membership changes
+    (pending drops + flush-at-prefill), and drain-time flushes; outputs must
+    be token-identical to the synchronous engine in both token-budget and
+    iteration-budget chunk modes."""
+    prompts = make_prompts(256, sizes=(5, 9, 17, 3, 11, 7, 21, 4, 13, 6, 8, 15))
+    sps = [
+        SamplingParams(
+            temperature=0.0, max_tokens=10 + (i % 3) * 7,
+            decode_strategy="jacobi", jacobi_block_len=8, jacobi_max_blocks=1,
+            jacobi_max_iterations=256,
+        )
+        for i in range(len(prompts))
+    ]
+    outs = {}
+    for async_on in (True, False):
+        eng = make_engine(
+            num_pages=48,  # few pages: slots limited, backfills constant
+            jacobi_chunk_iters=chunk_iters,
+            jacobi_async_host=async_on,
+            batch_buckets=(1, 2, 4),
+        )
+        outs[async_on] = eng.generate(prompts, sps)
+        assert not eng._pending, "pending chunks must drain by completion"
+    for a, b in zip(outs[True], outs[False]):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_async_host_pipeline_nongreedy_exact_match():
+    """Nongreedy (rejection-sampling) chunks share the pipeline; with a fixed
+    seed the sampled outputs must match sync mode exactly (same number of
+    _next_key() draws per dispatch)."""
+    prompts = make_prompts(256, sizes=(5, 9, 7))
+    sp = SamplingParams(
+        temperature=0.7, top_k=1, max_tokens=12,
+        decode_strategy="jacobi_nongreedy", jacobi_block_len=8,
+        jacobi_max_blocks=1, jacobi_max_iterations=256,
+    )
+    outs = {}
+    for async_on in (True, False):
+        eng = make_engine(jacobi_async_host=async_on, seed=3)
+        outs[async_on] = eng.generate(prompts, sp)
+        assert not eng._pending
+    for a, b in zip(outs[True], outs[False]):
+        assert a["token_ids"] == b["token_ids"]
