@@ -69,7 +69,11 @@ def main():
     demo_dir = os.environ.get("JF_BENCH_DEMO_DIR", "")
     if not demo_dir:
         for cand in (
-            "assets/tpf_demo_n32_v2",  # shipped: final-round TPF 3.891 +- 1.78 (n=64)
+            # round-4: window-8 lr-2e-4 resume + best-heldout-aggregate
+            # selection; on v2's ORIGINAL heldout set (cross-set check):
+            # mean 4.232 +- 1.61, aggregate 3.633 (v2: 3.891 / 3.227)
+            "assets/tpf_demo_n32_v6",
+            "assets/tpf_demo_n32_v2",  # round-3 artifact: TPF 3.891 +- 1.78 (n=64)
             "assets/tpf_demo_n32",
             "assets/tpf_demo",
         ):
