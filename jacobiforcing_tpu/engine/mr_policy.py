@@ -34,7 +34,15 @@ re-probe every `reprobe_every` calls, and immediately when the locked
 arm's recent rate collapses below `drift_ratio` of its lock-time rate (a
 drifting workload — e.g. acceptance structure changing as the batch mix
 turns over — must not keep a stale winner).  Probe overhead is bounded:
-3*probe_chunks / reprobe_every of chunks run a potentially losing arm.
+3*probe_chunks / reprobe_every of chunks run a potentially losing arm —
+and DECAYS on a stable workload: each reprobe that re-confirms the same
+winner doubles the next reprobe interval (capped at `backoff_cap`x), so
+steady-state losing-arm traffic tends to 3*probe_chunks /
+(backoff_cap*reprobe_every) ≈ 0.3% at the defaults (the round-4 on-chip
+demo probe measured auto-policy at 0.967x single-block on a SHORT run —
+probe traffic, not a wrong lock; backoff shrinks exactly that term on
+long-lived serving).  A winner change or a drift unlock resets the
+interval to `reprobe_every`.
 
 Measurement fairness (round-4 on-chip finding, assets/engine_grid_r4):
   * rates are normalized PER BATCH SLOT (tokens / (slots x wall)) — during
@@ -60,11 +68,12 @@ class MRAutoPolicy:
     """Per-(L, K, C) group online arm selection for MR serving."""
 
     def __init__(self, probe_chunks: int = 4, reprobe_every: int = 256,
-                 drift_ratio: float = 0.6):
+                 drift_ratio: float = 0.6, backoff_cap: int = 16):
         assert probe_chunks >= 1 and reprobe_every > 3 * probe_chunks
         self.probe_chunks = probe_chunks
         self.reprobe_every = reprobe_every
         self.drift_ratio = drift_ratio
+        self.backoff_cap = backoff_cap
         self.slot_wall: List[float] = [0.0, 0.0, 0.0]  # sum(slots * wall_s)
         self.tokens: List[int] = [0, 0, 0]
         self.n: List[int] = [0, 0, 0]
@@ -73,12 +82,15 @@ class MRAutoPolicy:
         self._since_lock = 0
         self._lock_rate = 0.0  # per-slot rate at lock time
         self._ema_rate: Optional[float] = None  # recent locked-arm rate
+        self._interval = reprobe_every  # current reprobe interval (backoff)
+        self._stable = 0  # consecutive reprobes confirming the same winner
+        self._last_winner: Optional[int] = None
 
     # ------------------------------------------------------------------
     def _rate(self, a: int) -> float:
         return self.tokens[a] / self.slot_wall[a] if self.slot_wall[a] > 0 else 0.0
 
-    def _unlock(self) -> None:
+    def _unlock(self, drift: bool = False) -> None:
         # decay history so the new window dominates but past evidence still
         # breaks ties
         self.locked = None
@@ -86,11 +98,16 @@ class MRAutoPolicy:
         self.tokens = [int(t * 0.25) for t in self.tokens]
         self.n = [0, 0, 0]
         self._ema_rate = None
+        if drift:
+            # the workload changed under us: stability evidence is stale
+            self._stable = 0
+            self._interval = self.reprobe_every
+            self._last_winner = None
 
     def pick(self) -> int:
         """Arm for the next chunk call."""
         if self.locked is not None:
-            if self._since_lock >= self.reprobe_every:
+            if self._since_lock >= self._interval:
                 self._unlock()
             else:
                 return self.locked
@@ -119,13 +136,25 @@ class MRAutoPolicy:
                     self._since_lock >= 3
                     and self._ema_rate < self.drift_ratio * self._lock_rate
                 ):
-                    self._unlock()  # workload drifted under the locked arm
+                    # workload drifted under the locked arm
+                    self._unlock(drift=True)
             return
         if min(self.n) >= self.probe_chunks:
             self.locked = max(range(3), key=self._rate)
             self._since_lock = 0
             self._lock_rate = self._rate(self.locked)
             self._ema_rate = None
+            # reprobe backoff: a re-confirmed winner doubles the next
+            # interval (stable workload -> probe overhead decays); a new
+            # winner resets it
+            if self._last_winner == self.locked:
+                self._stable += 1
+            else:
+                self._stable = 0
+            self._interval = self.reprobe_every * min(
+                1 << self._stable, self.backoff_cap
+            )
+            self._last_winner = self.locked
 
     # ------------------------------------------------------------------
     def snapshot(self) -> dict:
@@ -134,4 +163,5 @@ class MRAutoPolicy:
             "calls": self.calls,
             "tokens_per_slot_s": [round(self._rate(a), 2) for a in range(3)],
             "n": list(self.n),
+            "reprobe_interval": self._interval,
         }

@@ -1,0 +1,209 @@
+"""Decompose the MR full-tier iteration cost (VERDICT r3 #3, second half).
+
+probe_mr_iter.py measures full-tier MR at ~2.17x single-block wall per
+iteration (29.5 vs 13.6 ms at B=1/4k W8A8).  This probe attributes the extra
+cost by timing the tier's pieces in isolation at the exact serving geometry
+(B=1, 4k ctx, N=64, K=2, C=4 -> S=6, T=384 rows):
+
+  fwd+head   forward_spec(T rows, 4k committed) + greedy_tokens  (the tier's
+             compute core, matmuls + spec-attention + lm_head)
+  fwd only   same without greedy_tokens                -> lm_head = diff
+  fwd @ctx0  same with cache_len=0 (no committed pages) -> committed-KV
+             attention stream = diff vs fwd only
+  RA core    forward_spec(N rows) + greedy             (ra-only tier core)
+  glue       full MR chunk ms/iter (probe_mr_iter protocol) minus fwd+head
+
+Reference analog of the decomposed path: the batch-expanded forward + verify
+of modeling/..._multiblock_lookahead_unified.py:317-464.
+
+    python scripts/probe_mr_decompose.py [ctx] [quant] [n]
+"""
+
+import dataclasses as dc
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_chained(fn, args, n=8):
+    """Median of n dispatches, each ended by a tiny readback (tunnel-safe)."""
+    out = fn(*args)
+    np.asarray(out)  # compile + settle
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
+
+
+def main():
+    from jacobiforcing_tpu.engine import multiblock
+    from jacobiforcing_tpu.models.qwen import (
+        ModelConfig, forward_spec, greedy_tokens, rope_table,
+    )
+    from jacobiforcing_tpu.ops.kv_cache import alloc_kv_cache
+    from jacobiforcing_tpu.ops.quant import init_quantized_params
+
+    ctx = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    quant = sys.argv[2] if len(sys.argv) > 2 else "w8a8"
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    cfg = ModelConfig()
+    if quant == "w8a8":
+        cfg = dc.replace(cfg, act_quant=True)
+    params = init_quantized_params(cfg, jax.random.PRNGKey(0))
+    rope = rope_table(cfg)
+
+    B, N, K, C = 1, 64, 2, 4
+    S = 1 + C + (K - 1)
+    T = S * N
+    page = 256
+    pps = (ctx + 2 * T) // page + 2
+    kv = alloc_kv_cache(cfg.num_layers, B * pps, page, cfg.num_kv_heads,
+                        cfg.head_dim, jnp.bfloat16)
+    bt = jnp.asarray(np.arange(B * pps, dtype=np.int32).reshape(B, pps))
+    clen = jnp.full((B,), ctx, jnp.int32)
+    tok = jnp.ones((B, T), jnp.int32)
+    pos = ctx + jnp.tile(jnp.arange(N, dtype=jnp.int32), (B, S))
+    # tree mask: segment-local causal (the shape the tier actually uses)
+    jT = np.arange(T)
+    seg = jT // N
+    intra = jnp.asarray((seg[:, None] == seg[None, :])
+                        & (jT[:, None] % N >= jT[None, :] % N))[None]
+    intra = jnp.broadcast_to(intra, (B, T, T))
+
+    @jax.jit
+    def fwd_head(tokens):
+        h, k_n, v_n = forward_spec(params, cfg, tokens, pos, kv, bt, clen,
+                                   intra, rope)
+        g = greedy_tokens(params, cfg, h)
+        return g.sum() + k_n[0].sum().astype(jnp.float32)
+
+    @jax.jit
+    def fwd_only(tokens):
+        h, k_n, v_n = forward_spec(params, cfg, tokens, pos, kv, bt, clen,
+                                   intra, rope)
+        return h.sum().astype(jnp.float32) + k_n[0].sum().astype(jnp.float32)
+
+    clen0 = jnp.zeros((B,), jnp.int32)
+
+    @jax.jit
+    def fwd_ctx0(tokens):
+        h, k_n, v_n = forward_spec(params, cfg, tokens, pos, kv, bt, clen0,
+                                   intra, rope)
+        return h.sum().astype(jnp.float32) + k_n[0].sum().astype(jnp.float32)
+
+    tokN = jnp.ones((B, N), jnp.int32)
+    posN = pos[:, :N]
+    intraN = intra[:, :N, :N]
+
+    @jax.jit
+    def ra_core(tokens):
+        h, k_n, v_n = forward_spec(params, cfg, tokens, posN, kv, bt, clen,
+                                   intraN, rope)
+        g = greedy_tokens(params, cfg, h)
+        return g.sum() + k_n[0].sum().astype(jnp.float32)
+
+    ms_fh = bench_chained(fwd_head, (tok,), n)
+    print(f"fwd+head T={T}: {ms_fh:.2f} ms", flush=True)
+    ms_fo = bench_chained(fwd_only, (tok,), n)
+    print(f"fwd only T={T}: {ms_fo:.2f} ms", flush=True)
+    ms_f0 = bench_chained(fwd_ctx0, (tok,), n)
+    print(f"fwd ctx0 T={T}: {ms_f0:.2f} ms", flush=True)
+    ms_ra = bench_chained(ra_core, (tokN,), n)
+    print(f"RA core N={N}: {ms_ra:.2f} ms", flush=True)
+
+    if os.environ.get("JF_DECOMP_SKIP_CHUNK", "0") == "1":
+        # reuse probe_mr_iter's chunk number (29.5 ms r3) instead of paying
+        # the big MR chunk compile again
+        import json
+        print(json.dumps({
+            "probe": "mr_decompose", "ctx": ctx, "quant": quant, "T": T,
+            "full_fwd_plus_head_ms": round(ms_fh, 2),
+            "full_fwd_only_ms": round(ms_fo, 2),
+            "full_fwd_ctx0_ms": round(ms_f0, 2),
+            "ra_core_ms": round(ms_ra, 2),
+            "attrib": {
+                "lm_head_argmax_ms": round(ms_fh - ms_fo, 2),
+                "committed_kv_attention_ms": round(ms_fo - ms_f0, 2),
+                "matmuls_and_block_attn_ms": round(ms_f0, 2),
+            },
+            "full_core_vs_ra_core_x": round(ms_fh / max(ms_ra, 1e-9), 2),
+        }), flush=True)
+        return
+
+    # ---- full MR chunk ms/iter (probe_mr_iter protocol, candidates on) ----
+    budget = 256
+    cap = ctx + budget + 4 * N + 1
+    W = 2 * N
+    kv2 = alloc_kv_cache(cfg.num_layers, B * pps, page, cfg.num_kv_heads,
+                         cfg.head_dim, jnp.bfloat16)
+
+    def mk_tokens():
+        return jnp.zeros((B, cap), jnp.int32).at[:, :ctx].set(1)
+
+    def mr(kv_, tokens):
+        return multiblock.jacobi_chunk_multiblock(
+            params, cfg, rope, kv_, tokens, jnp.full((B,), ctx, jnp.int32),
+            jnp.ones((B, K, N), jnp.int32),
+            jnp.full((B, K), N, jnp.int32).at[:, 1:].set(0),
+            jnp.zeros((B, K), jnp.int32),
+            jnp.zeros((B, K, N), jnp.int32),
+            jnp.zeros((B, K), jnp.int32).at[:, 0].set(ctx),
+            jnp.zeros((B, K), bool).at[:, 0].set(True),
+            jnp.zeros((B,), jnp.int32),
+            jnp.ones((B,), jnp.int32),
+            jnp.zeros((B, C, W), jnp.int32),
+            jnp.zeros((B, C), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32),
+            bt, jnp.full((B,), pps * page, jnp.int32),
+            jnp.full((B,), budget, jnp.int32), -1, 0,
+            jnp.full((B,), int(np.ceil(0.8 * N)), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.full((B,), budget + 8, jnp.int32),
+            N=N, K=K, C=C, W=W, chunk_budget=budget,
+        )
+
+    res = mr(kv2, mk_tokens())
+    np.asarray(res["iters"])
+    tot, dt = 0, 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = mr(res["kv"], mk_tokens())
+        tot += int(np.asarray(res["iters"]).sum())
+        dt += time.perf_counter() - t0
+    ms_mr = 1e3 * dt / max(tot, 1)
+
+    out = {
+        "probe": "mr_decompose", "ctx": ctx, "quant": quant,
+        "B": B, "N": N, "K": K, "C": C, "T": T,
+        "full_fwd_plus_head_ms": round(ms_fh, 2),
+        "full_fwd_only_ms": round(ms_fo, 2),
+        "full_fwd_ctx0_ms": round(ms_f0, 2),
+        "ra_core_ms": round(ms_ra, 2),
+        "mr_full_chunk_ms_per_iter": round(ms_mr, 2),
+        "attrib": {
+            "lm_head_argmax_ms": round(ms_fh - ms_fo, 2),
+            "committed_kv_attention_ms": round(ms_fo - ms_f0, 2),
+            "matmuls_and_block_attn_ms": round(ms_f0, 2),
+            "glue_ms": round(ms_mr - ms_fh, 2),
+        },
+        "full_core_vs_ra_core_x": round(ms_fh / max(ms_ra, 1e-9), 2),
+    }
+    import json
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -339,6 +339,59 @@ def test_mr_auto_policy_unit():
     assert snap["locked"] == "mr_ra_only"
 
 
+def test_mr_auto_policy_reprobe_backoff():
+    """A reprobe that re-confirms the same winner doubles the next reprobe
+    interval (capped); a winner change or drift unlock resets it — so on a
+    stable workload losing-arm probe traffic decays instead of costing
+    3*probe_chunks/reprobe_every forever."""
+    from jacobiforcing_tpu.engine.mr_policy import MRAutoPolicy
+
+    pol = MRAutoPolicy(probe_chunks=1, reprobe_every=10, backoff_cap=4)
+    rates = {0: 100.0, 1: 300.0, 2: 200.0}
+
+    def drive_until_locked():
+        for _ in range(20):
+            if pol.locked is not None:
+                return
+            arm = pol.pick()
+            pol.record(arm, tokens=int(rates[arm]), wall_s=1.0)
+
+    drive_until_locked()
+    assert pol.locked == 1 and pol._interval == 10  # first lock: base
+    for _ in range(10):
+        assert pol.pick() == 1
+        pol.record(1, 300, 1.0)
+    assert pol.pick() != 1 or pol.locked is None  # reprobe opened at 10
+    drive_until_locked()
+    assert pol.locked == 1 and pol._interval == 20  # confirmed -> doubled
+    for _ in range(20):
+        assert pol.pick() == 1  # stays locked through the longer window
+        pol.record(1, 300, 1.0)
+    pol.pick()
+    drive_until_locked()
+    assert pol._interval == 40
+    # cap: repeated confirmations never exceed backoff_cap * base
+    for _ in range(6):
+        for _ in range(pol._interval):
+            if pol.locked is None:
+                break
+            pol.pick()
+            pol.record(pol.locked if pol.locked is not None else 1, 300, 1.0)
+        pol.pick()
+        drive_until_locked()
+    assert pol._interval == 40  # 4x cap
+    # winner change resets the interval
+    rates = {0: 100.0, 1: 30.0, 2: 500.0}
+    for _ in range(pol._interval):
+        if pol.locked is None:
+            break
+        pol.pick()
+        pol.record(1, 30, 1.0)  # locked arm collapses -> drift unlock
+    assert pol.locked is None and pol._interval == 10  # drift reset
+    drive_until_locked()
+    assert pol.locked == 2 and pol._interval == 10  # new winner: base
+
+
 def test_mr_auto_policy_engine_exact_match():
     """With the auto-policy forced to switch arms aggressively (probe=1,
     reprobe=4), MR output must STILL match plain MR and greedy AR token for
