@@ -267,12 +267,29 @@ def spec_attention_pallas(
     gpt = groups_per_tile(G, T)
     if gpt == 0:
         raise ValueError(f"spec kernel: T={T} query rows exceed VMEM cap")
+    # Pad the head-group axis when a slightly larger group count tiles into
+    # FEWER grid slices: every slice re-streams the full committed page
+    # stream, so G=7 (Qwen 7B GQA) at T=384 forces gpt=1 = SEVEN re-streams,
+    # while padding to Gp=8 gives gpt=4 = two re-streams for 1/8 wasted
+    # query rows (zero rows; outputs sliced off — zero q scores uniformly,
+    # so no NaN risk in either softmax path).  probe_mr_decompose measured
+    # committed-KV attention at 7.2 of the MR full tier's 28.4 ms/iter at
+    # B=1/4k; re-streaming is the dominant term of that 7.2.
+    Gp, slices = G, G // gpt
+    for cand in range(G + 1, 2 * G + 1):
+        g2 = groups_per_tile(cand, T)
+        if g2 and cand // g2 < slices:
+            Gp, gpt, slices = cand, g2, cand // g2
+    GTp = Gp * T
     rows = gpt * T  # query rows per program
     scaled = k_scale_l is not None
 
     import math as _math
 
-    qr = q.reshape(B, T, KH, G, D).transpose(0, 2, 3, 1, 4).reshape(B, KH, GT, D)
+    qr = q.reshape(B, T, KH, G, D).transpose(0, 2, 3, 1, 4)  # [B,KH,G,T,D]
+    if Gp != G:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, Gp - G), (0, 0), (0, 0)))
+    qr = qr.reshape(B, KH, GTp, D)
     # fold the softmax scale + exp->exp2 conversion into q once
     qr = (qr.astype(jnp.float32) * (scale * _math.log2(_math.e))).astype(q.dtype)
     kb = k_new.transpose(0, 2, 1, 3)  # [B, KH, T, D]
@@ -323,7 +340,7 @@ def spec_attention_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, KH, G // gpt),
+        grid=(B, KH, Gp // gpt),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, rows, D), lambda b, h, g, *_: (b, h, g, 0)),
         scratch_shapes=[
@@ -358,8 +375,10 @@ def spec_attention_pallas(
     out = pl.pallas_call(
         _squeeze,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KH, GT, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, KH, GTp, D), q.dtype),
         interpret=interpret,
     )(*args)
 
+    if Gp != G:
+        out = out[:, :, :GT]
     return out.reshape(B, KH, G, T, D).transpose(0, 3, 1, 2, 4).reshape(B, T, NH, D)

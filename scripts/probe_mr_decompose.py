@@ -33,7 +33,10 @@ import numpy as np
 
 
 def bench_chained(fn, args, n=8):
-    """Median of n dispatches, each ended by a tiny readback (tunnel-safe)."""
+    """Median of n dispatches, each ended by a tiny readback (tunnel-safe).
+
+    NOTE: per-call timing carries the tunnel dispatch+RTT (~25-40 ms); use
+    for comparisons only, or prefer scan-amortized timing (below)."""
     out = fn(*args)
     np.asarray(out)  # compile + settle
     ts = []
@@ -42,6 +45,35 @@ def bench_chained(fn, args, n=8):
         np.asarray(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) * 1e3
+
+
+def bench_scanned(make_step, params, kv, rope, tokens0, reps, n=4):
+    """Per-iteration wall of one forward amortized over a lax.scan of `reps`
+    steps (tokens varied per step so XLA cannot hoist the body), minus a
+    reps=1 call to cancel dispatch/readback overhead.  `make_step(p, kv_,
+    rope_, tokens) -> scalar` must take params/kv/rope as ARGUMENTS (closure
+    capture bakes 8.5GB constants into the lowering — round-3 lesson).
+
+    This matches how the chunk programs amortize dispatch (lax.while_loop),
+    so the numbers compose with probe_mr_iter's ms/iter."""
+    from jax import lax
+
+    def make(r):
+        @jax.jit
+        def many(p, kv_, rope_, tokens):
+            def body(c, i):
+                return c + make_step(p, kv_, rope_,
+                                     (tokens + i) % 1000 + 1), None
+            out, _ = lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(r, dtype=jnp.int32))
+            return out
+
+        return many
+
+    big, one = make(reps), make(1)
+    t_big = bench_chained(big, (params, kv, rope, tokens0), n)
+    t_one = bench_chained(one, (params, kv, rope, tokens0), n)
+    return max(t_big - t_one, 0.0) / max(reps - 1, 1)
 
 
 def main():
@@ -80,46 +112,37 @@ def main():
                         & (jT[:, None] % N >= jT[None, :] % N))[None]
     intra = jnp.broadcast_to(intra, (B, T, T))
 
-    @jax.jit
-    def fwd_head(tokens):
-        h, k_n, v_n = forward_spec(params, cfg, tokens, pos, kv, bt, clen,
-                                   intra, rope)
-        g = greedy_tokens(params, cfg, h)
-        return g.sum() + k_n[0].sum().astype(jnp.float32)
-
-    @jax.jit
-    def fwd_only(tokens):
-        h, k_n, v_n = forward_spec(params, cfg, tokens, pos, kv, bt, clen,
-                                   intra, rope)
-        return h.sum().astype(jnp.float32) + k_n[0].sum().astype(jnp.float32)
-
     clen0 = jnp.zeros((B,), jnp.int32)
-
-    @jax.jit
-    def fwd_ctx0(tokens):
-        h, k_n, v_n = forward_spec(params, cfg, tokens, pos, kv, bt, clen0,
-                                   intra, rope)
-        return h.sum().astype(jnp.float32) + k_n[0].sum().astype(jnp.float32)
-
     tokN = jnp.ones((B, N), jnp.int32)
     posN = pos[:, :N]
     intraN = intra[:, :N, :N]
+    reps = int(os.environ.get("JF_DECOMP_REPS", "8"))
 
-    @jax.jit
-    def ra_core(tokens):
-        h, k_n, v_n = forward_spec(params, cfg, tokens, posN, kv, bt, clen,
-                                   intraN, rope)
-        g = greedy_tokens(params, cfg, h)
-        return g.sum() + k_n[0].sum().astype(jnp.float32)
+    # small operands (pos/clen/intra/bt) may ride as closure constants; the
+    # 8.5GB params/kv MUST be jit arguments (round-3 lesson, commit 472915b)
+    def mk(with_head, pos_, clen_, intra_):
+        def step(p, kv_, rope_, tokens):
+            h, k_n, v_n = forward_spec(p, cfg, tokens, pos_, kv_, bt, clen_,
+                                       intra_, rope_)
+            out = k_n[0].sum().astype(jnp.float32)
+            if with_head:
+                return greedy_tokens(p, cfg, h).sum().astype(jnp.float32) + out
+            return h.sum().astype(jnp.float32) + out
 
-    ms_fh = bench_chained(fwd_head, (tok,), n)
-    print(f"fwd+head T={T}: {ms_fh:.2f} ms", flush=True)
-    ms_fo = bench_chained(fwd_only, (tok,), n)
-    print(f"fwd only T={T}: {ms_fo:.2f} ms", flush=True)
-    ms_f0 = bench_chained(fwd_ctx0, (tok,), n)
-    print(f"fwd ctx0 T={T}: {ms_f0:.2f} ms", flush=True)
-    ms_ra = bench_chained(ra_core, (tokN,), n)
-    print(f"RA core N={N}: {ms_ra:.2f} ms", flush=True)
+        return step
+
+    ms_fh = bench_scanned(mk(True, pos, clen, intra), params, kv, rope,
+                          tok, reps, n)
+    print(f"fwd+head T={T}: {ms_fh:.2f} ms/iter", flush=True)
+    ms_fo = bench_scanned(mk(False, pos, clen, intra), params, kv, rope,
+                          tok, reps, n)
+    print(f"fwd only T={T}: {ms_fo:.2f} ms/iter", flush=True)
+    ms_f0 = bench_scanned(mk(False, pos, clen0, intra), params, kv, rope,
+                          tok, reps, n)
+    print(f"fwd ctx0 T={T}: {ms_f0:.2f} ms/iter", flush=True)
+    ms_ra = bench_scanned(mk(True, posN, clen, intraN), params, kv, rope,
+                          tokN, reps, n)
+    print(f"RA core N={N}: {ms_ra:.2f} ms/iter", flush=True)
 
     if os.environ.get("JF_DECOMP_SKIP_CHUNK", "0") == "1":
         # reuse probe_mr_iter's chunk number (29.5 ms r3) instead of paying

@@ -59,6 +59,8 @@ def main():
     with open(os.path.join(demo, "heldout_prompts.jsonl")) as f:
         prompts = [json.loads(l)["prompt_ids"] for l in f][:n_prompts]
 
+    rounds = int(os.environ.get("JF_TIERMIX_ROUNDS", "1"))
+
     def run(strategy, mr_auto=False, **sp_kw):
         eng = LLMEngine(
             Config(kvcache_page_size=16, max_model_len=512,
@@ -77,10 +79,17 @@ def main():
             jacobi_block_len=N, **sp_kw,
         )
         eng.generate(prompts[:2], sp, use_tqdm=False)  # warmup compiles
-        stats0 = dict(eng.stats)
-        t0 = time.perf_counter()
-        outs = eng.generate(prompts, sp, use_tqdm=False)
-        dt = time.perf_counter() - t0
+        # JF_TIERMIX_ROUNDS>1: repeated batches through ONE engine so the
+        # auto-policy reaches its locked/backoff steady state; the reported
+        # numbers are from the LAST round (long-lived serving regime)
+        per_round = []
+        for r in range(rounds):
+            stats0 = dict(eng.stats)
+            t0 = time.perf_counter()
+            outs = eng.generate(prompts, sp, use_tqdm=False)
+            dt = time.perf_counter() - t0
+            per_round.append(round(
+                sum(len(o["token_ids"]) for o in outs) / dt, 1))
         d = {k: eng.stats.get(k, 0) - stats0.get(k, 0)
              for k in ("jacobi_iterations", "generated_tokens",
                        "mr_full", "mr_nocand", "mr_ra_only")}
@@ -93,6 +102,7 @@ def main():
             "tok_per_s": round(toks / dt, 1),
             "ms_per_iter": round(1e3 * dt / max(d["jacobi_iterations"], 1), 3),
             "tiers": {k: d[k] for k in ("mr_full", "mr_nocand", "mr_ra_only")},
+            "tok_per_s_rounds": per_round,
         }
 
     single = run("jacobi", jacobi_max_blocks=3)

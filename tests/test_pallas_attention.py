@@ -204,6 +204,53 @@ def test_spec_kernel_group_tiled(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_spec_kernel_padded_head_groups(monkeypatch):
+    """G=7 (Qwen 7B GQA) with G*T over the row cap tiles gpt=1 = SEVEN
+    re-streams of the committed page stream; the kernel pads the group axis
+    to Gp=8 (gpt=4, two slices) and slices the zero rows off.  Parity vs the
+    XLA reference must hold exactly through the padding."""
+    from jacobiforcing_tpu.ops.attention import paged_attention_with_block
+    from jacobiforcing_tpu.ops.pallas import spec_attention as sa_mod
+
+    # T=12: gpt(G=7)=1 (7*12=84 > 48, 7 prime), gpt(Gp=8)=4 (48 <= 48)
+    monkeypatch.setattr(sa_mod, "_MAX_ROWS", 48)
+    assert sa_mod.groups_per_tile(7, 12) == 1
+    assert sa_mod.groups_per_tile(8, 12) == 4
+
+    r = np.random.RandomState(11)
+    B, KH, G, D = 2, 2, 7, 128
+    S, N = 3, 4
+    T = S * N
+    NH = KH * G
+    num_pages, pages_per_seq = 16, 6
+    q = jnp.asarray(r.randn(B, T, NH, D), jnp.float32)
+    k = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    v = jnp.asarray(r.randn(KH, num_pages * PAGE, D), jnp.float32)
+    k_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    v_new = jnp.asarray(r.randn(B, T, KH, D), jnp.float32)
+    bt = np.zeros((B, pages_per_seq), np.int32)
+    for b in range(B):
+        bt[b] = np.arange(b * pages_per_seq, (b + 1) * pages_per_seq)
+    bt = jnp.asarray(bt)
+    cache_lens = jnp.asarray([37, 80], jnp.int32)
+    seg = np.repeat(np.arange(S), N)
+    idx = np.tile(np.arange(N), S)
+    sees = ((seg[:, None] == seg[None, :]) & (idx[None, :] <= idx[:, None])) | (
+        (seg[:, None] == 2) & (seg[None, :] == 0)
+    )
+    intra = jnp.asarray(np.broadcast_to(sees, (B, T, T)).copy())
+    scale = 1.0 / np.sqrt(D)
+
+    ref = paged_attention_with_block(
+        q, k, v, bt, cache_lens, k_new, v_new, intra, scale, page_size=PAGE
+    )
+    out = sa_mod.spec_attention_pallas(
+        q, k, v, bt, cache_lens, k_new, v_new, intra, scale,
+        page_size=PAGE, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_kernel_feasible_bounds_query_tile():
     """Prefill-scale query blocks must NOT dispatch to the Pallas kernel: the
     kernel holds all G*T query rows in VMEM (measured OOM at G*T=14336)."""
