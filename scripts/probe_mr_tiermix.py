@@ -61,7 +61,13 @@ def main():
 
     rounds = int(os.environ.get("JF_TIERMIX_ROUNDS", "1"))
 
-    def run(strategy, mr_auto=False, **sp_kw):
+    TIER_KEYS = ("mr_full", "mr_nocand", "mr_ra_only", "mr_single")
+
+    def run(strategy, mr_auto=False, force_arm=None, **sp_kw):
+        if force_arm is not None:
+            os.environ["JF_MR_FORCE_ARM"] = str(force_arm)
+        else:
+            os.environ.pop("JF_MR_FORCE_ARM", None)
         eng = LLMEngine(
             Config(kvcache_page_size=16, max_model_len=512,
                    jacobi_chunk_tokens=2 * N, eos=-1,
@@ -71,7 +77,7 @@ def main():
                    # raw MR by default so the tier mix measures the state
                    # machine, not the policy; mr_auto=True measures the
                    # shipping default on the same workload
-                   jacobi_mr_auto_policy=mr_auto),
+                   jacobi_mr_auto_policy=mr_auto or force_arm is not None),
             model_cfg=mc, params=params, num_kv_pages=4096,
         )
         sp = SamplingParams(
@@ -91,25 +97,32 @@ def main():
             per_round.append(round(
                 sum(len(o["token_ids"]) for o in outs) / dt, 1))
         d = {k: eng.stats.get(k, 0) - stats0.get(k, 0)
-             for k in ("jacobi_iterations", "generated_tokens",
-                       "mr_full", "mr_nocand", "mr_ra_only")}
+             for k in ("jacobi_iterations", "generated_tokens") + TIER_KEYS}
         toks = sum(len(o["token_ids"]) for o in outs)
-        return {
+        os.environ.pop("JF_MR_FORCE_ARM", None)
+        res = {
             "wall_s": round(dt, 3),
             "tokens": toks,
             "iters": d["jacobi_iterations"],
             "tpf": round(toks / max(d["jacobi_iterations"], 1), 3),
             "tok_per_s": round(toks / dt, 1),
             "ms_per_iter": round(1e3 * dt / max(d["jacobi_iterations"], 1), 3),
-            "tiers": {k: d[k] for k in ("mr_full", "mr_nocand", "mr_ra_only")},
+            "tiers": {k: d[k] for k in TIER_KEYS},
             "tok_per_s_rounds": per_round,
         }
+        if mr_auto:
+            res["policy"] = eng.mr_policy_snapshot()
+        return res
 
+    mr_kw = dict(jacobi_max_blocks=K, jacobi_n_gram_pool_size=C)
     single = run("jacobi", jacobi_max_blocks=3)
-    mr = run("jacobi_multiblock_rejection_recycling",
-             jacobi_max_blocks=K, jacobi_n_gram_pool_size=C)
-    mr_auto = run("jacobi_multiblock_rejection_recycling", mr_auto=True,
-                  jacobi_max_blocks=K, jacobi_n_gram_pool_size=C)
+    mr = run("jacobi_multiblock_rejection_recycling", **mr_kw)
+    # per-arm forced runs: the round-5 attribution of WHY the RA-only arm
+    # cannot reach single-block (fixed MR glue + block-boundary cold drafts)
+    # and proof the fourth arm does (same program, handed-off state)
+    mr_ra = run("jacobi_multiblock_rejection_recycling", force_arm=2, **mr_kw)
+    mr_sg = run("jacobi_multiblock_rejection_recycling", force_arm=3, **mr_kw)
+    mr_auto = run("jacobi_multiblock_rejection_recycling", mr_auto=True, **mr_kw)
     tot = max(sum(mr["tiers"].values()), 1)
     out = {
         "probe": "mr_tiermix_trained_demo",
@@ -117,6 +130,8 @@ def main():
         "N": N, "K": K, "C": C, "prompts": len(prompts),
         "single_block": single,
         "mr": mr,
+        "mr_forced_ra_only": mr_ra,
+        "mr_forced_single": mr_sg,
         "mr_auto_policy": mr_auto,
         "tier_mix_pct": {k: round(100.0 * v / tot, 1)
                          for k, v in mr["tiers"].items()},
@@ -124,6 +139,10 @@ def main():
             mr["ms_per_iter"] / max(single["ms_per_iter"], 1e-9), 3),
         "mr_vs_single_tok_per_s_x": round(
             mr["tok_per_s"] / max(single["tok_per_s"], 1e-9), 3),
+        "mr_ra_only_vs_single_tok_per_s_x": round(
+            mr_ra["tok_per_s"] / max(single["tok_per_s"], 1e-9), 3),
+        "mr_forced_single_vs_single_tok_per_s_x": round(
+            mr_sg["tok_per_s"] / max(single["tok_per_s"], 1e-9), 3),
         "mr_auto_vs_single_tok_per_s_x": round(
             mr_auto["tok_per_s"] / max(single["tok_per_s"], 1e-9), 3),
     }

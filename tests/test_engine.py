@@ -405,7 +405,7 @@ def test_mr_auto_policy_engine_exact_match():
     plain = make_engine(jacobi_mr_auto_policy=False).generate(prompts, sp)
     eng = make_engine(
         jacobi_mr_auto_policy=True, jacobi_mr_probe_chunks=1,
-        jacobi_mr_reprobe_every=4, jacobi_chunk_tokens=8,
+        jacobi_mr_reprobe_every=6, jacobi_chunk_tokens=8,
     )
     auto = eng.generate(prompts, sp)
     for a, b in zip(plain, auto):
@@ -420,6 +420,104 @@ def test_mr_auto_policy_engine_exact_match():
     )
     for a, b in zip(ar, plain):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_mr_single_arm_forced_exact_match(monkeypatch):
+    """JF_MR_FORCE_ARM=3 serves MR requests entirely through the TRUE
+    single-block program (MR -> single handoff at the first chunk); the
+    output must match greedy AR token for token."""
+    monkeypatch.setenv("JF_MR_FORCE_ARM", "3")
+    prompts = make_prompts(256, sizes=(5, 9, 17, 3))
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=24,
+        decode_strategy="jacobi_multiblock_rejection_recycling",
+        jacobi_block_len=8, jacobi_max_blocks=2, jacobi_max_iterations=512,
+    )
+    eng = make_engine(jacobi_mr_auto_policy=True)
+    out = eng.generate(prompts, sp)
+    assert eng.stats.get("mr_single", 0) > 0
+    assert eng.stats.get("mr_full", 0) == 0  # MR program never ran
+    ar = make_engine().generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=24)
+    )
+    for a, b in zip(ar, out):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_mr_single_arm_cycling_exact_match(monkeypatch):
+    """Force the policy through EVERY arm in rotation, one arm per chunk —
+    each rotation exercises both handoffs (MR state -> sliding draft, and
+    the single -> MR re-entry with its verified-continuation forward,
+    including after AR fallbacks where the sliding spec[0] is unverified).
+    Output must still match greedy AR exactly."""
+    from jacobiforcing_tpu.engine import mr_policy
+
+    counter = {"i": -1}
+
+    def cycling_pick(self):
+        counter["i"] += 1
+        return counter["i"] % self.n_arms
+
+    monkeypatch.setattr(mr_policy.MRAutoPolicy, "pick", cycling_pick)
+    prompts = make_prompts(256, sizes=(5, 9, 17, 3))
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=32,
+        decode_strategy="jacobi_multiblock_rejection_recycling",
+        jacobi_block_len=8, jacobi_max_blocks=2, jacobi_max_iterations=512,
+    )
+    # chunk_iters=2: every chunk is exactly 2 device trips, so the rotation
+    # switches arms many times per request
+    eng = make_engine(jacobi_mr_auto_policy=True, jacobi_chunk_iters=2)
+    out = eng.generate(prompts, sp)
+    assert counter["i"] >= 7, "rotation did not cover all arms"
+    assert eng.stats.get("mr_single", 0) > 0
+    ar = make_engine().generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=32)
+    )
+    for a, b in zip(ar, out):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_mr_policy_window_only_and_discard_first():
+    """Round-5 advisor fix: reprobe decisions use probe-window-only rates (a
+    degraded locked arm cannot be re-confirmed from stale history), and
+    discard_first drops each arm's first-ever sample (compile walls)."""
+    from jacobiforcing_tpu.engine.mr_policy import MRAutoPolicy
+
+    # window-only: arm0 locks with a long fast history, then degrades; the
+    # reprobe must pick arm1 from fresh samples even though arm0's lifetime
+    # average still beats arm1
+    pol = MRAutoPolicy(probe_chunks=1, reprobe_every=10)
+    for rate in (1000.0, 100.0, 100.0):
+        pol.record(pol.pick(), int(rate), 1.0)
+    assert pol.locked == 0
+    for _ in range(10):  # long fast history on the locked arm
+        pol.record(0, 1000, 1.0)
+    # reprobe window: arm0 now serves 150, arm1 400
+    fresh = {0: 150.0, 1: 400.0, 2: 100.0}
+    for _ in range(6):
+        if pol.locked is not None and pol._since_lock < pol._interval:
+            break
+        arm = pol.pick()
+        pol.record(arm, int(fresh[arm]), 1.0)
+        if pol.locked is not None:
+            break
+    assert pol.locked == 1, "stale history outweighed the probe window"
+
+    # discard_first: a poisoned (compile-wall) first sample is ignored
+    pol2 = MRAutoPolicy(probe_chunks=1, reprobe_every=10, n_arms=4,
+                        discard_first=True)
+    walls = {0: 1.0, 1: 1.0, 2: 1.0, 3: 20.0}  # arm3's first call compiles
+    rates = {0: 100.0, 1: 150.0, 2: 100.0, 3: 600.0}
+    for _ in range(20):
+        if pol2.locked is not None:
+            break
+        arm = pol2.pick()
+        w = walls[arm]
+        walls[arm] = 1.0  # only the first call pays the wall
+        pol2.record(arm, int(rates[arm]), w)
+    assert pol2.locked == 3, "compile wall poisoned the fastest arm"
+    assert pol2.snapshot()["locked"] == "single"
 
 
 def test_mr_auto_policy_drift_reprobe():
