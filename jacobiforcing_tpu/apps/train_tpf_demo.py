@@ -46,6 +46,41 @@ def copy_language_row(rng, vocab: int, p_lo=4, p_hi=9, total=96):
     return prompt, seq[: total + n]
 
 
+EOS_ID = 2
+CD_BASE = 10  # countdown markers: CD_k = CD_BASE + k
+
+
+def countdown_copy_row(rng, vocab: int, p_lo=4, p_hi=9, m_lo=3, m_hi=6):
+    """Countdown copy language (the round-5 demo task).
+
+    prompt = [CD_M, body]; continuation = [CD_{M-1}, body] ... [CD_1, body]
+    [EOS], body = random tokens above the reserved range.  Two properties
+    the plain cyclic task lacked (VERDICT r4 #5/#6):
+
+      * every cycle starts with a unique countdown marker, so the cycle
+        phase is locally unambiguous — the round-4 slow-tail diagnosis
+        traced the worst TPF rows to PHASE ALIASING (prompts starting and
+        ending with the same token made the cycle phase ambiguous,
+        corr(dup-tokens, TPF) = -0.24);
+      * termination is a LOCAL decision (the CD_1 cycle ends -> EOS, and
+        CD_k -> CD_{k-1} is a learnable token map), so every row
+        terminates with a natural EOS inside the token cap and the
+        headline aggregate follows the reference's EOS-only protocol
+        (jacobi_forcing_inference_humaneval.py:274-301) instead of the
+        all-rows-hit-the-cap regime of rounds 3-4.
+    """
+    n = int(rng.randint(p_lo, p_hi + 1))
+    m = int(rng.randint(m_lo, m_hi + 1))
+    body = rng.randint(CD_BASE + m_hi + 1, vocab, n).tolist()
+    prompt = [CD_BASE + m] + body
+    seq = list(prompt)
+    for k in range(m - 1, 0, -1):
+        seq.append(CD_BASE + k)
+        seq.extend(body)
+    seq.append(EOS_ID)
+    return prompt, seq
+
+
 def demo_model_cfg(hidden=128, layers=4, heads=4, kv_heads=2):
     import jax.numpy as jnp
 
@@ -60,18 +95,19 @@ def demo_model_cfg(hidden=128, layers=4, heads=4, kv_heads=2):
     )
 
 
-def make_engine(mc, params):
+def make_engine(mc, params, eos: int = -1):
     from jacobiforcing_tpu.config import Config
     from jacobiforcing_tpu.engine.llm_engine import LLMEngine
 
     cfg = Config(
         kvcache_page_size=16, max_model_len=512, jacobi_chunk_tokens=64,
-        eos=-1, prefill_token_buckets=(32, 64, 128, 256, 512),
+        eos=eos, prefill_token_buckets=(32, 64, 128, 256, 512),
     )
     return LLMEngine(cfg, model_cfg=mc, params=params, num_kv_pages=1024)
 
 
-def measure_tpf_via_harness(mc, params, prompts, block_len, max_tokens, out_dir):
+def measure_tpf_via_harness(mc, params, prompts, block_len, max_tokens, out_dir,
+                            eos: int = -1, prompts_file="heldout_prompts.jsonl"):
     """End-to-end measurement through the eval harness (bench_generate.run).
 
     Returns (mean_tpf, sd_tpf, agg): mean +- sd of per-example
@@ -87,13 +123,13 @@ def measure_tpf_via_harness(mc, params, prompts, block_len, max_tokens, out_dir)
     args.max_new_tokens = max_tokens
     args.max_iterations = 1 << 20
     args.output_dir = out_dir
-    ds_path = os.path.join(out_dir, "heldout_prompts.jsonl")
+    ds_path = os.path.join(out_dir, prompts_file)
     os.makedirs(out_dir, exist_ok=True)
     with open(ds_path, "w") as f:
         for i, p in enumerate(prompts):
             f.write(json.dumps({"task_id": f"copy_{i}", "prompt_ids": p}) + "\n")
     args.dataset = ds_path
-    eng = make_engine(mc, params)
+    eng = make_engine(mc, params, eos=eos)
     agg, profiles = bench_generate.run(args, engine=eng, tokenizer=None)
     tpfs = np.asarray([p["tokens_per_forward"] for p in profiles], np.float64)
     return float(tpfs.mean()), float(tpfs.std(ddof=1)), agg
@@ -128,6 +164,13 @@ def run(args) -> dict:
         params = init_params(mc, jax.random.PRNGKey(0))
     rope = rope_table(mc)
     rng = np.random.RandomState(0)
+    task = getattr(args, "task", "countdown")
+    eos = EOS_ID if task == "countdown" else -1
+
+    def gen_row():
+        if task == "countdown":
+            return countdown_copy_row(rng, mc.vocab_size)
+        return copy_language_row(rng, mc.vocab_size)
 
     # ---- stage 1: SFT on the copy language (batched causal LM) ----
     sft_steps = 0 if getattr(args, "init_from", None) else args.sft_steps
@@ -158,9 +201,15 @@ def run(args) -> dict:
         ids = np.zeros((B, T), np.int32)
         w = np.zeros((B, T - 1), np.float32)
         for b in range(B):
-            prompt, seq = copy_language_row(rng, mc.vocab_size, total=T)
-            ids[b] = seq[:T]
-            w[b, len(prompt) - 1:] = 1.0  # loss on the continuation only
+            if task == "countdown":
+                prompt, seq = countdown_copy_row(rng, mc.vocab_size)
+                seq = seq[:T]  # terminated rows are shorter than T; pad 0
+                ids[b, : len(seq)] = seq
+                w[b, len(prompt) - 1 : len(seq) - 1] = 1.0
+            else:
+                prompt, seq = copy_language_row(rng, mc.vocab_size, total=T)
+                ids[b] = seq[:T]
+                w[b, len(prompt) - 1:] = 1.0  # loss on the continuation only
         params, sft_state, loss = sft_step(
             params, sft_state, jnp.asarray(ids), jnp.asarray(w)
         )
@@ -168,12 +217,12 @@ def run(args) -> dict:
             _log(f"[sft] step {step_i} loss {float(loss):.4f}")
 
     # ---- stage 2: Jacobi consistency rounds on own trajectories ----
-    train_prompts = [
-        copy_language_row(rng, mc.vocab_size)[0] for _ in range(args.n_prompts)
-    ]
-    heldout = [
-        copy_language_row(rng, mc.vocab_size)[0] for _ in range(args.heldout)
-    ]
+    train_prompts = [gen_row()[0] for _ in range(args.n_prompts)]
+    heldout = [gen_row()[0] for _ in range(args.heldout)]
+    # an INDEPENDENT second held-out set: round-4 measured the same weights
+    # at aggregate 3.21-3.46 across 64-prompt sets (per-set noise), so the
+    # final numbers are reported on two sets (VERDICT r4 #6)
+    heldout2 = [gen_row()[0] for _ in range(args.heldout)]
 
     # size the jit buckets to the actual packed geometry (dense-mask attention
     # is O(L^2); a 1024 bucket on a ~200-token pack wastes 25x the compute)
@@ -181,7 +230,7 @@ def run(args) -> dict:
         return ((x + 63) // 64) * 64
 
     T_max = -(-args.max_tokens // N)  # blocks per prompt = packed pairs
-    p_hi = 9
+    p_hi = 10 if task == "countdown" else 9  # +1: the countdown marker
     tc = TrainConfig(
         N=N, max_pairs=T_max,
         seq_bucket=r64(p_hi + 2 * T_max * N),
@@ -202,7 +251,7 @@ def run(args) -> dict:
     opt_state = opt.init(params)
 
     tpf0, sd0, agg0 = measure_tpf_via_harness(
-        mc, params, heldout, N, args.max_tokens, args.out
+        mc, params, heldout, N, args.max_tokens, args.out, eos=eos
     )
     agg_tpf = agg0["aggregate_tokens_per_forward"]
     _log(f"[loop] TPF after SFT, before consistency: {tpf0:.3f} +- {sd0:.3f} "
@@ -213,7 +262,7 @@ def run(args) -> dict:
     history = [{"round": -1, "tpf": round(tpf0, 3), "sd": round(sd0, 3),
                 "tpf_aggregate": agg_tpf}]
 
-    def write_result(tpf, sd, agg_tpf):
+    def write_result(tpf, sd, agg_tpf, extra=None):
         # --select final: ship the latest round (the round-3 default; no
         # selection).  --select best-aggregate: early-stopping-style model
         # selection ON THE HELD-OUT aggregate TPF — round-4 measurement
@@ -232,7 +281,11 @@ def run(args) -> dict:
             "block_len": N,
             "max_tokens": args.max_tokens,
             "selection": args.select,
+            "task": task,
+            "eos": eos,
         }
+        if extra:
+            result.update(extra)
         with open(os.path.join(args.out, "tpf_demo.json"), "w") as f:
             json.dump(result, f, indent=2)
         return result
@@ -247,7 +300,7 @@ def run(args) -> dict:
     best = {"agg": agg_tpf, "tpf": tpf0, "sd": sd0, "round": -1,
             "params": snap(params) if args.select == "best-aggregate" else None}
     for rnd in range(args.rounds):
-        eng = make_engine(mc, params)
+        eng = make_engine(mc, params, eos=eos)
         rows = collect_trajectories(
             eng, train_prompts, block_len=N, max_tokens=args.max_tokens,
             temperature=0.0,
@@ -267,7 +320,7 @@ def run(args) -> dict:
                 }
                 params, opt_state, m = step(params, opt_state, rope, b)
         tpf, sd, agg = measure_tpf_via_harness(
-            mc, params, heldout, N, args.max_tokens, args.out
+            mc, params, heldout, N, args.max_tokens, args.out, eos=eos
         )
         agg_tpf = agg["aggregate_tokens_per_forward"]
         history.append({"round": rnd, "tpf": round(tpf, 3), "sd": round(sd, 3),
@@ -290,7 +343,18 @@ def run(args) -> dict:
                         "tpf": round(tpf, 3), "sd": round(sd, 3),
                         "tpf_aggregate": agg_tpf})
     save_checkpoint(args.out, mc, params)
-    result = write_result(tpf, sd, agg_tpf)
+    # cross-set check: the SAME shipped weights on an independent prompt set
+    tpf2, sd2, agg2 = measure_tpf_via_harness(
+        mc, params, heldout2, N, args.max_tokens, args.out, eos=eos,
+        prompts_file="heldout2_prompts.jsonl",
+    )
+    extra = {
+        "tpf_set2": round(tpf2, 3),
+        "tpf_set2_sd": round(sd2, 3),
+        "tpf_set2_aggregate": agg2["aggregate_tokens_per_forward"],
+        "set2_n_eos_terminated": agg2.get("n_eos_terminated", 0),
+    }
+    result = write_result(tpf, sd, agg_tpf, extra=extra)
     print(json.dumps(result))
     return result
 
@@ -318,6 +382,13 @@ def main():
         help="which round's weights to ship: the last round (round-3 "
              "protocol) or the best held-out aggregate-TPF round "
              "(validation early stopping; recorded in tpf_demo.json)",
+    )
+    p.add_argument(
+        "--task", choices=("countdown", "cyclic"), default="countdown",
+        help="demo language: 'countdown' (round-5 default: cycle-start "
+             "markers disambiguate the phase and the last marker triggers a "
+             "natural EOS, matching the reference's EOS-only aggregate "
+             "protocol) or the legacy 'cyclic' copy task",
     )
     p.add_argument(
         "--init-from", default=None,

@@ -275,11 +275,20 @@ def spec_attention_pallas(
     # so no NaN risk in either softmax path).  probe_mr_decompose measured
     # committed-KV attention at 7.2 of the MR full tier's 28.4 ms/iter at
     # B=1/4k; re-streaming is the dominant term of that 7.2.
+    #
+    # Cost gate (round-5 advisor fix): the padded rows ride through BOTH the
+    # committed stream's score/pv matmuls and the block phase, and the probe
+    # decomposition showed those matmuls are compute-bound at MR row counts —
+    # so unbounded padding (e.g. G=3 -> 4 = +33% rows to save one re-stream)
+    # can be net-negative.  Cap the wasted-row fraction at 25%: G=7 -> 8
+    # (+14%, 7 streams -> 2) passes; G=3 -> 4 does not.
+    # JF_SPEC_NO_GPAD=1 disables padding entirely (A/B probes).
     Gp, slices = G, G // gpt
-    for cand in range(G + 1, 2 * G + 1):
-        g2 = groups_per_tile(cand, T)
-        if g2 and cand // g2 < slices:
-            Gp, gpt, slices = cand, g2, cand // g2
+    if os.environ.get("JF_SPEC_NO_GPAD", "0") != "1":
+        for cand in range(G + 1, 2 * G + 1):
+            g2 = groups_per_tile(cand, T)
+            if g2 and cand // g2 < slices and (cand - G) * 4 <= G:
+                Gp, gpt, slices = cand, g2, cand // g2
     GTp = Gp * T
     rows = gpt * T  # query rows per program
     scaled = k_scale_l is not None

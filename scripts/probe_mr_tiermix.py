@@ -70,7 +70,7 @@ def main():
             os.environ.pop("JF_MR_FORCE_ARM", None)
         eng = LLMEngine(
             Config(kvcache_page_size=16, max_model_len=512,
-                   jacobi_chunk_tokens=2 * N, eos=-1,
+                   jacobi_chunk_tokens=2 * N, eos=int(meta.get("eos", -1)),
                    prefill_token_buckets=(32, 64, 128, 256, 512),
                    batch_buckets=(min(8, n_prompts),),
                    max_num_seqs=min(8, n_prompts),
