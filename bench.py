@@ -69,6 +69,10 @@ def main():
     demo_dir = os.environ.get("JF_BENCH_DEMO_DIR", "")
     if not demo_dir:
         for cand in (
+            # round-5: countdown copy task (natural EOS + phase-unambiguous
+            # cycles) — heldout aggregate 4.672 / independent second set
+            # 4.748, 64/64 EOS-terminated on both (VERDICT r4 #5/#6)
+            "assets/tpf_demo_n32_v7",
             # round-4: window-8 lr-2e-4 resume + best-heldout-aggregate
             # selection; on v2's ORIGINAL heldout set (cross-set check):
             # mean 4.232 +- 1.61, aggregate 3.633 (v2: 3.891 / 3.227)

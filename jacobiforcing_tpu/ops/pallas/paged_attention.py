@@ -157,6 +157,22 @@ def _resolve_flat(softmax) -> bool:
     return softmax == "flat"
 
 
+def _flat_p(sv):
+    """exp2 of a flat-softmax score tile (round-5 clamp elision).
+
+    The _FLAT_CAP clamp only guards FORCED-flat runs without a calibrated
+    bound: whenever "auto" enabled flat, calibration PROVED every score
+    <= cap/2, so min() is the identity — and it is one of the ~4 VPU
+    elementwise passes per [rows, tile] element in a loop the fixed-cost
+    probe measured as VPU-bound (probe_attn_fixed_cost).  Masked entries
+    are -1e30 -> exp2 underflows to exactly 0 on both paths.  Trace-time
+    decision, same contract as flat_enabled(): calibrate before compiling.
+    """
+    if _FLAT_BOUND is not None and _FLAT_BOUND <= _FLAT_CAP / 2:
+        return jnp.exp2(sv)
+    return jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+
+
 def _flat_ok(rows: int, tile: int, D: int, kv_itemsize: int, q_itemsize: int) -> bool:
     """Whether the flat-softmax p_sum scratch fits scoped VMEM (16M on v5e).
 
@@ -340,7 +356,7 @@ def _kernel(
                 # chunk's pv matmul (MXU); one acc store at the end
                 parts = []
                 for c, sv in enumerate(svs):
-                    p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+                    p_ij = _flat_p(sv)
                     p_sum[:, c * CW : (c + 1) * CW] += p_ij
                     if scaled:
                         pv = (
@@ -398,7 +414,7 @@ def _kernel(
         if flat:
             def update(sv):
                 # masked scores are -1e30 -> exp2 underflows to exactly 0
-                p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+                p_ij = _flat_p(sv)
                 p_sum[...] += p_ij
                 if scaled:
                     # dequant V folded into the probabilities:
@@ -593,7 +609,7 @@ def _kernel_fused(
             def update_chunks(svs):
                 parts = []
                 for c, sv in enumerate(svs):
-                    p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+                    p_ij = _flat_p(sv)
                     p_sum[:, c * CW : (c + 1) * CW] += p_ij
                     if scaled:
                         pv = (
@@ -646,7 +662,7 @@ def _kernel_fused(
 
             if flat:
                 def update(sv):
-                    p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+                    p_ij = _flat_p(sv)
                     p_sum[...] += p_ij
                     if scaled:
                         pv = (

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from jacobiforcing_tpu.ops.pallas.paged_attention import (
-    _FLAT_CAP, _NBUF, _PP, _flat_ok, _pick_pp, flat_enabled,
+    _FLAT_CAP, _NBUF, _PP, _flat_ok, _flat_p, _pick_pp, flat_enabled,
 )
 
 _NEG_INF = -1e30
@@ -158,7 +158,7 @@ def _kernel(
                 # same flat exp2 softmax as the decode kernel (see
                 # paged_attention._SOFTMAX): no running max, denominator as an
                 # elementwise partial sum reduced once after the loop
-                p_ij = jnp.exp2(jnp.minimum(sv, _FLAT_CAP))
+                p_ij = _flat_p(sv)
                 p_sum[...] += p_ij
                 acc[...] += lax.dot_general(
                     fold_vs(p_ij), v,
@@ -216,7 +216,7 @@ def _kernel(
         )  # [T, T]; scale*log2e folded into q -> exp2 domain
         s = jnp.where(mask != 0, s, _NEG_INF)
         if flat:
-            p_ij = jnp.exp2(jnp.minimum(s, _FLAT_CAP))
+            p_ij = _flat_p(s)
             l_i[rows, :] += jnp.sum(p_ij, axis=1, keepdims=True)
             acc[rows, :] += lax.dot_general(
                 p_ij.astype(q.dtype), vb,

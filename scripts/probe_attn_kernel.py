@@ -14,7 +14,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jacobiforcing_tpu.ops.pallas.paged_attention import paged_attention_pallas
+from jacobiforcing_tpu.ops.pallas.paged_attention import (
+    paged_attention_pallas, set_flat_softmax_bound,
+)
+
+# JF_PA_CALIB_BOUND=<x>: simulate a calibrated model (drives the auto-flat
+# policy and, round 5, the clamp elision — bound <= cap/2 skips the
+# per-element min pass).  Use with JF_PA_SOFTMAX unset (auto).
+if os.environ.get("JF_PA_CALIB_BOUND"):
+    set_flat_softmax_bound(float(os.environ["JF_PA_CALIB_BOUND"]))
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 CTX = int(sys.argv[2]) if len(sys.argv) > 2 else 8192

@@ -87,6 +87,52 @@ def main():
     ctx = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     quant = sys.argv[2] if len(sys.argv) > 2 else "w8a8"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    gpad = os.environ.get("JF_SPEC_NO_GPAD", "0") != "1"
+
+    # ---- COMPILED parity of the padded head-group geometry (advisor r4) ----
+    # The Gp padding path (G=7 -> 8, new grid/BlockSpec shapes) was
+    # interpret-parity-tested only; here the compiled lowering runs on-chip
+    # against the XLA reference at the real 7B head geometry before any
+    # timing.  Skip with JF_DECOMP_SKIP_PARITY=1.
+    if gpad and os.environ.get("JF_DECOMP_SKIP_PARITY", "0") != "1":
+        from jacobiforcing_tpu.ops.attention import paged_attention_with_block
+        from jacobiforcing_tpu.ops.pallas.spec_attention import (
+            spec_attention_pallas,
+        )
+
+        r = np.random.RandomState(0)
+        Bp, KHp, Gpar, Dp, Np, Sp = 1, 4, 7, 128, 64, 6  # 7B GQA, T=384
+        Tp = Sp * Np
+        page_p = 256
+        ctx_p = 512
+        pps_p = ctx_p // page_p + 1
+        qp = jnp.asarray(r.randn(Bp, Tp, KHp * Gpar, Dp), jnp.float32) * 0.3
+        kp = jnp.asarray(r.randn(KHp, pps_p * page_p, Dp), jnp.bfloat16)
+        vp = jnp.asarray(r.randn(KHp, pps_p * page_p, Dp), jnp.bfloat16)
+        knp = jnp.asarray(r.randn(Bp, Tp, KHp, Dp), jnp.float32) * 0.3
+        vnp = jnp.asarray(r.randn(Bp, Tp, KHp, Dp), jnp.float32) * 0.3
+        btp = jnp.asarray(
+            np.arange(Bp * pps_p, dtype=np.int32).reshape(Bp, pps_p))
+        clp = jnp.full((Bp,), ctx_p, jnp.int32)
+        segp = np.repeat(np.arange(Sp), Np)
+        idxp = np.tile(np.arange(Np), Sp)
+        seesp = (segp[:, None] == segp[None, :]) & (idxp[None, :] <= idxp[:, None])
+        intrap = jnp.asarray(np.broadcast_to(seesp, (Bp, Tp, Tp)))
+        sc = 1.0 / np.sqrt(Dp)
+        ref_p = np.asarray(paged_attention_with_block(
+            qp, kp.astype(jnp.float32), vp.astype(jnp.float32), btp, clp,
+            knp, vnp, intrap, sc, page_size=page_p,
+        ))
+        out_p = np.asarray(spec_attention_pallas(
+            qp.astype(jnp.bfloat16), kp, vp, btp, clp,
+            knp.astype(jnp.bfloat16), vnp.astype(jnp.bfloat16), intrap, sc,
+            page_size=page_p,
+        ))
+        err = float(np.max(np.abs(out_p - ref_p)))
+        assert err < 2e-2, f"padded-Gp compiled parity failed: max err {err}"
+        print(f"padded-Gp compiled parity ok: max |err| {err:.2e} "
+              f"(bf16 kernel vs f32 XLA, G=7->8, T={Tp})", flush=True)
+        del qp, kp, vp, knp, vnp, ref_p, out_p
 
     cfg = ModelConfig()
     if quant == "w8a8":
@@ -150,6 +196,7 @@ def main():
         import json
         print(json.dumps({
             "probe": "mr_decompose", "ctx": ctx, "quant": quant, "T": T,
+            "head_group_padding": gpad,
             "full_fwd_plus_head_ms": round(ms_fh, 2),
             "full_fwd_only_ms": round(ms_fo, 2),
             "full_fwd_ctx0_ms": round(ms_f0, 2),
@@ -211,6 +258,7 @@ def main():
     out = {
         "probe": "mr_decompose", "ctx": ctx, "quant": quant,
         "B": B, "N": N, "K": K, "C": C, "T": T,
+        "head_group_padding": gpad,
         "full_fwd_plus_head_ms": round(ms_fh, 2),
         "full_fwd_only_ms": round(ms_fo, 2),
         "full_fwd_ctx0_ms": round(ms_f0, 2),

@@ -44,8 +44,8 @@ def main():
     C = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
     demo = None
-    for cand in ("assets/tpf_demo_n32_v6", "assets/tpf_demo_n32_v2",
-                 "assets/tpf_demo"):
+    for cand in ("assets/tpf_demo_n32_v7", "assets/tpf_demo_n32_v6",
+                 "assets/tpf_demo_n32_v2", "assets/tpf_demo"):
         d = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), cand)
         if os.path.isdir(d) and os.path.isfile(os.path.join(d, "tpf_demo.json")):

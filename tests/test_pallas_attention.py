@@ -522,3 +522,34 @@ def test_kernel_perhead_ragged_matches_xla(monkeypatch, softmax):
         interpret=True, softmax=softmax,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flat_clamp_elision_parity(monkeypatch):
+    """Round-5 clamp elision: when a calibrated bound proves scores safe, the
+    flat path skips the per-element _FLAT_CAP min() — the output must be
+    bit-compatible with the clamped flat path (min is the identity below the
+    cap) and match the XLA reference."""
+    from jacobiforcing_tpu.ops.pallas import paged_attention as pa
+
+    q, k, v, bt = _setup(L=4)
+    cache_lens = jnp.asarray([37, 80], jnp.int32)
+    positions = (cache_lens - 4)[:, None] + jnp.arange(4)[None, :]
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    ref = paged_attention_xla(
+        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE)
+
+    # clamped: forced flat with no calibrated bound
+    monkeypatch.setattr(pa, "_FLAT_BOUND", None)
+    clamped = np.asarray(paged_attention_pallas(
+        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE,
+        interpret=True, softmax="flat"))
+    # elided: calibrated bound <= cap/2 (fresh jit cache key via interpret
+    # already traces per call; _FLAT_BOUND is read at trace time)
+    paged_attention_pallas.clear_cache()
+    monkeypatch.setattr(pa, "_FLAT_BOUND", 10.0)
+    elided = np.asarray(paged_attention_pallas(
+        q, k, v, bt, cache_lens, positions, scale, page_size=PAGE,
+        interpret=True, softmax="flat"))
+    np.testing.assert_array_equal(clamped, elided)
+    np.testing.assert_allclose(elided, np.asarray(ref), rtol=2e-5, atol=2e-5)
+    paged_attention_pallas.clear_cache()
