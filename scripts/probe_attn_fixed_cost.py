@@ -23,6 +23,11 @@ import numpy as np
 
 import jacobiforcing_tpu.ops.pallas.paged_attention as pa
 
+# JF_PA_CALIB_BOUND=<x>: simulate a calibrated model (auto-flat + round-5
+# clamp elision when <= cap/2); use with JF_PA_SOFTMAX unset
+if os.environ.get("JF_PA_CALIB_BOUND"):
+    pa.set_flat_softmax_bound(float(os.environ["JF_PA_CALIB_BOUND"]))
+
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 L = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 

@@ -43,7 +43,13 @@ bt = jnp.asarray(
 clen = jnp.full((B,), CTX, jnp.int32)
 pos = jnp.broadcast_to(jnp.arange(CTX - L, CTX, dtype=jnp.int32), (B, L))
 
-INNER = 32  # kernel calls per dispatch: amortizes the ~0.55ms tunnel overhead
+# Kernel calls per dispatch.  NOTE (round 5): 32 leaves ~0.8us/call of
+# per-dispatch queue overhead in the number at B=1 geometries (8k: 94us at
+# INNER=32 vs 67us at INNER=1024 same day); the deep setting matches the
+# serving regime (the decode loop runs inside lax.while_loop, fully
+# amortized), so prefer JF_PROBE_INNER=1024 for absolute ratios and keep a
+# fixed INNER only for same-protocol A/Bs.
+INNER = int(os.environ.get("JF_PROBE_INNER", "32"))
 
 
 @jax.jit

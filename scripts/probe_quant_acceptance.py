@@ -3,10 +3,15 @@
 The W8A8 quality story previously rested on random-weight logit
 perturbations (NOTES round 3); this probe ties quantization to the one
 trained artifact in the repo: it runs the demo checkpoint
-(assets/tpf_demo_n32_v2) through the real engine + eval harness at f32,
+(v7 by default) through the real engine + eval harness at f32,
 int8 weight-only, and W8A8, and reports
 
-  * aggregate + mean tokens-per-forward per variant (acceptance), and
+  * aggregate + mean tokens-per-forward per variant (acceptance),
+  * TASK accuracy against the deterministic ground truth (positional
+    token accuracy + exact-solution rate; on the round-5 countdown task
+    the ground truth is phase-unambiguous and EOS-terminated, so these
+    are meaningful accuracy numbers, unlike the phase-aliased cyclic
+    task where strict positional accuracy collapsed on shifted rows),
   * token-exact-match vs the f32 generations (exact-match rate over
     held-out prompts + mean common-prefix fraction),
 
@@ -41,7 +46,8 @@ def run_variant(demo_dir: str, quantization: str | None):
     mc, params = load_checkpoint(demo_dir, dtype=jnp.float32)
     eng = LLMEngine(
         Config(kvcache_page_size=16, max_model_len=512, jacobi_chunk_tokens=64,
-               eos=-1, prefill_token_buckets=(32, 64, 128, 256, 512),
+               eos=int(meta.get("eos", -1)),
+               prefill_token_buckets=(32, 64, 128, 256, 512),
                quantization=quantization or ""),
         model_cfg=mc, params=params, num_kv_pages=1024,
     )
@@ -59,7 +65,7 @@ def run_variant(demo_dir: str, quantization: str | None):
         for line in f:
             gens.append(json.loads(line)["token_ids"])
     eng.exit()
-    return agg, profiles, gens
+    return meta, agg, profiles, gens
 
 
 def prefix_frac(a, b):
@@ -70,32 +76,56 @@ def prefix_frac(a, b):
     return i / max(len(a), len(b), 1)
 
 
-def copy_accuracy(prompts, gens):
-    """TASK accuracy on the demo's copy language: the correct continuation is
-    the prompt repeated cyclically (train_tpf_demo.copy_language_row), so
-    accuracy = fraction of generated tokens equal to the ground truth — the
-    analog of the reference's HumanEval/GSM8K accuracy column coupled to TPF
-    (reference README.md:253-270)."""
-    fr = []
+def task_truth(p, task, max_len):
+    """Deterministic ground-truth continuation for a demo prompt."""
+    if task == "countdown":
+        from jacobiforcing_tpu.apps.train_tpf_demo import CD_BASE, EOS_ID
+
+        m = p[0] - CD_BASE
+        body = list(p[1:])
+        seq = []
+        for k in range(m - 1, 0, -1):
+            seq.append(CD_BASE + k)
+            seq.extend(body)
+        seq.append(EOS_ID)
+        return seq
+    return [p[i % len(p)] for i in range(max_len)]
+
+
+def task_accuracy(prompts, gens, task):
+    """TASK accuracy: positional token accuracy against the deterministic
+    ground truth plus the exact-solution rate (generation == truth verbatim,
+    incl. the EOS on the countdown task) — the analog of the reference's
+    HumanEval/GSM8K accuracy column coupled to TPF (README.md:253-270)."""
+    fr, exact = [], []
     for p, g in zip(prompts, gens):
-        truth = [p[i % len(p)] for i in range(len(g))]
-        fr.append(float(np.mean([a == b for a, b in zip(g, truth)])) if g else 0.0)
-    return round(float(np.mean(fr)), 4)
+        truth = task_truth(p, task, len(g))
+        n = min(len(g), len(truth))
+        fr.append(
+            float(np.mean([a == b for a, b in zip(g[:n], truth[:n])]))
+            if n else 0.0
+        )
+        exact.append(list(g) == list(truth))
+    return round(float(np.mean(fr)), 4), round(float(np.mean(exact)), 4)
 
 
 def main():
-    demo_dir = sys.argv[1] if len(sys.argv) > 1 else "assets/tpf_demo_n32_v2"
+    demo_dir = sys.argv[1] if len(sys.argv) > 1 else "assets/tpf_demo_n32_v7"
     with open(os.path.join(demo_dir, "heldout_prompts.jsonl")) as f:
         prompts = [json.loads(l)["prompt_ids"] for l in f]
     out = {}
     base_gens = None
     for q in (None, "int8", "w8a8"):
         name = q or "f32"
-        agg, profiles, gens = run_variant(demo_dir, q)
+        meta, agg, profiles, gens = run_variant(demo_dir, q)
+        acc, solved = task_accuracy(
+            prompts, gens, meta.get("task", "cyclic"))
         row = {
             "aggregate_tpf": agg["aggregate_tokens_per_forward"],
             "mean_tpf": agg["mean_tokens_per_forward"],
-            "copy_task_accuracy": copy_accuracy(prompts, gens),
+            "task_accuracy": acc,
+            "exact_solution_rate": solved,
+            "n_eos_terminated": agg.get("n_eos_terminated", 0),
             "n": agg["n_examples"],
         }
         if base_gens is None:
