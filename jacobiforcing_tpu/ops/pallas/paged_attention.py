@@ -795,6 +795,14 @@ def paged_attention_pallas(
     fused = (
         B * KH <= int(_os.environ.get("JF_PA_FUSEH_MAX", "1024"))
         and KH * GL <= MAX_Q_ROWS
+        # Mosaic can only slice the head axis of the [KH, GL, D] q block when
+        # the GL (sublane) dim is tile-aligned: GL % 8, or a sub-8 power of
+        # two (packed sub-tiles).  GL=7 (Qwen-7B GQA at L=1, i.e. AR decode)
+        # fails with "Slice shape along dimension 2 must be aligned to
+        # tiling (8), but is 7" — found round 5 via the MR re-entry forward;
+        # unaligned GL falls back to the per-head (B, KH) grid, the shipped
+        # AR path of rounds 1-3.
+        and (GL % 8 == 0 or GL in (1, 2, 4))
         and _os.environ.get("JF_PA_FUSEH", "1") != "0"
     )
 

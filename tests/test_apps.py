@@ -281,3 +281,35 @@ def test_engine_bench_smoke():
               "ms_per_forward", "batch_occupancy", "committed_tok_per_s"):
         assert out[k] > 0, (k, out)
     assert out["requests"] == 5
+
+
+def test_countdown_task_truth_matches_generator():
+    """The round-5 demo task's generator and the quant probe's deterministic
+    ground truth must agree: for every generated row, the continuation after
+    the prompt IS task_truth(prompt) — phase-unambiguous and EOS-terminated."""
+    import sys
+
+    import numpy as np
+
+    from jacobiforcing_tpu.apps.train_tpf_demo import (
+        CD_BASE, EOS_ID, countdown_copy_row,
+    )
+
+    sys.path.insert(0, "scripts")
+    from probe_quant_acceptance import task_truth
+
+    rng = np.random.RandomState(7)
+    for _ in range(50):
+        prompt, seq = countdown_copy_row(rng, 256)
+        cont = seq[len(prompt):]
+        assert cont == task_truth(prompt, "countdown", len(cont))
+        assert cont[-1] == EOS_ID and EOS_ID not in cont[:-1]
+        m = prompt[0] - CD_BASE
+        assert 3 <= m <= 6
+        # every cycle starts with its countdown marker: phase is locally
+        # unambiguous (the round-4 slow-tail fix)
+        n = len(prompt) - 1
+        for k in range(m - 1, 0, -1):
+            off = (m - 1 - k) * (n + 1)
+            assert cont[off] == CD_BASE + k
+            assert cont[off + 1 : off + 1 + n] == prompt[1:]
