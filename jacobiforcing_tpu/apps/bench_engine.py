@@ -198,7 +198,7 @@ def run_engine_bench(
     if strategy == "mr":
         if eng._mr_policies:
             out["mr_policy"] = eng.mr_policy_snapshot()
-        for k in ("mr_full", "mr_nocand", "mr_ra_only"):
+        for k in ("mr_full", "mr_nocand", "mr_ra_only", "mr_single"):
             if k in eng.stats:
                 out[k] = int(eng.stats[k])
     eng.exit()

@@ -38,14 +38,20 @@ from jacobiforcing_tpu.utils.profiling import get_profiler
 class _PendingChunk:
     """One dispatched-but-unread Jacobi chunk (speculative host pipeline)."""
 
-    __slots__ = ("res", "seqs", "expected_lens", "iters0", "nongreedy")
+    __slots__ = ("res", "seqs", "expected_lens", "iters0", "nongreedy",
+                 "stat_key")
 
-    def __init__(self, res, seqs, expected_lens, iters0, nongreedy):
+    def __init__(self, res, seqs, expected_lens, iters0, nongreedy,
+                 stat_key=None):
         self.res = res
         self.seqs = seqs
         self.expected_lens = expected_lens
         self.iters0 = iters0
         self.nongreedy = nongreedy
+        # extra stats bucket credited with this chunk's iterations at commit
+        # time (e.g. "mr_single" for MR groups served by the single arm —
+        # async commits land a chunk later, so dispatch-time deltas miss them)
+        self.stat_key = stat_key
 
 
 def _bucket(n: int, buckets: PySeq[int]) -> int:
@@ -768,9 +774,12 @@ class LLMEngine:
         if prof:
             prof.add_tokens(int(gen[:n].sum()))
             prof.add_iteration(int(iters_out[:n].sum() - iters0[:n].sum()))
-        self.stats["jacobi_iterations"] += int(
-            iters_out[:n].sum() - iters0[:n].sum()
-        )
+        it_delta = int(iters_out[:n].sum() - iters0[:n].sum())
+        self.stats["jacobi_iterations"] += it_delta
+        if pending.stat_key:
+            self.stats[pending.stat_key] = (
+                self.stats.get(pending.stat_key, 0) + it_delta
+            )
         # device while-loop trips this chunk = the slowest row's iterations
         # (rows that finish early ride along inactive) — separates per-forward
         # time from batch-occupancy effects in profiling
@@ -799,6 +808,7 @@ class LLMEngine:
         nongreedy: bool = False,
         top_k: int = -1,
         use_top_p: bool = False,
+        stat_key: str = None,
     ) -> None:
         use_async = self.config.jacobi_async_host
         sig = self._chunk_sig(seqs, L, eos_id, nongreedy, top_k, use_top_p)
@@ -822,7 +832,7 @@ class LLMEngine:
                 res, list(seqs), [len(s) for s in seqs],
                 np.asarray([s.jacobi_iters for s in seqs]
                            + [0] * (len(pending.iters0) - len(seqs))),
-                nongreedy,
+                nongreedy, stat_key=stat_key,
             )
             return
         if pending is not None:
@@ -840,7 +850,8 @@ class LLMEngine:
             seqs, L, eos_id, nongreedy, top_k, use_top_p, handles=None
         )
         rec = _PendingChunk(
-            res, list(seqs), [len(s) for s in seqs], iters0, nongreedy
+            res, list(seqs), [len(s) for s in seqs], iters0, nongreedy,
+            stat_key=stat_key,
         )
         if use_async:
             # lag begins: this chunk's commits arrive on the next call/flush
@@ -882,6 +893,11 @@ class LLMEngine:
         if arm == ARM_SINGLE:
             self._mr_to_single(seqs, N)
         else:
+            # leaving the single arm: its speculative pipeline (if any) must
+            # land first — _mr_reenter and the MR bootstrap read host mirrors
+            # (draft, committed length), which lag one chunk while async
+            if self._pending:
+                self._flush_pending()
             self._mr_reenter(seqs, N, K, C)
         gen0 = self.stats["generated_tokens"]
         it0 = self.stats["jacobi_iterations"]
@@ -889,17 +905,30 @@ class LLMEngine:
         if arm == ARM_SINGLE:
             # TRUE single-block: the sliding-window greedy chunk program —
             # no MR state-machine glue, no block-boundary draft restarts.
-            # Run it synchronously (bypassing the speculative-pipeline
-            # machinery) so the recorded wall maps 1:1 to committed tokens.
-            B = _bucket(len(seqs), self.config.batch_buckets)
-            iters0 = np.zeros((B,), np.int32)
-            expected = [len(s) for s in seqs]
-            for i, s in enumerate(seqs):
-                iters0[i] = s.jacobi_iters
-            res = self._dispatch_chunk(seqs, N, eos_id, False, -1, False)
-            self._commit_chunk(
-                _PendingChunk(res, list(seqs), expected, iters0, False)
-            )
+            if pol.locked == ARM_SINGLE and self.config.jacobi_async_host:
+                # LOCKED steady state rides the speculative host pipeline
+                # like any jacobi group (the ~30 ms tunnel readback overlaps
+                # the next chunk's device execution — paying it serially
+                # would handicap exactly the arm the lock chose).  Commits
+                # lag one chunk (mr_single iterations are credited at commit
+                # time via stat_key); the drift EMA still tracks throughput.
+                self._jacobi_chunk(seqs, N, eos_id, stat_key="mr_single")
+            else:
+                # PROBING (or forced) runs synchronously so the recorded
+                # wall maps 1:1 to committed tokens; flush any pipeline
+                # state first — a later sync/MR dispatch must see current
+                # host mirrors, not one-chunk-lagged ones.
+                if self._pending:
+                    self._flush_pending()
+                B = _bucket(len(seqs), self.config.batch_buckets)
+                iters0 = np.zeros((B,), np.int32)
+                expected = [len(s) for s in seqs]
+                for i, s in enumerate(seqs):
+                    iters0[i] = s.jacobi_iters
+                res = self._dispatch_chunk(seqs, N, eos_id, False, -1, False)
+                self._commit_chunk(
+                    _PendingChunk(res, list(seqs), expected, iters0, False)
+                )
             self.stats["mr_single"] = self.stats.get("mr_single", 0) + (
                 self.stats["jacobi_iterations"] - it0
             )

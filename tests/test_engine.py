@@ -478,6 +478,46 @@ def test_mr_single_arm_cycling_exact_match(monkeypatch):
         assert a["token_ids"] == b["token_ids"]
 
 
+def test_mr_single_arm_locked_async_exact_match(monkeypatch):
+    """When the policy is LOCKED on the single arm, MR groups ride the
+    speculative host pipeline (async one-chunk-lag commits) like any jacobi
+    group; arm switches flush the pipeline before reading host mirrors.
+    Rotating lock states across every arm each chunk exercises async-single
+    -> MR transitions and must still match greedy AR exactly."""
+    from jacobiforcing_tpu.engine import mr_policy
+
+    counter = {"i": -1, "single_chunks": 0}
+
+    def rotating_locked_pick(self):
+        counter["i"] += 1
+        arm = counter["i"] % self.n_arms
+        # pretend the probe phase is over: a "locked" single arm takes the
+        # async pipeline path in _mr_dispatch
+        self.locked = arm
+        if arm == 3:
+            counter["single_chunks"] += 1
+        return arm
+
+    monkeypatch.setattr(
+        mr_policy.MRAutoPolicy, "pick", rotating_locked_pick)
+    prompts = make_prompts(256, sizes=(5, 9, 17, 3))
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=32,
+        decode_strategy="jacobi_multiblock_rejection_recycling",
+        jacobi_block_len=8, jacobi_max_blocks=2, jacobi_max_iterations=512,
+    )
+    eng = make_engine(jacobi_mr_auto_policy=True, jacobi_chunk_iters=2)
+    assert eng.config.jacobi_async_host
+    out = eng.generate(prompts, sp)
+    assert counter["single_chunks"] >= 2
+    assert eng.stats.get("mr_single", 0) > 0
+    ar = make_engine().generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=32)
+    )
+    for a, b in zip(ar, out):
+        assert a["token_ids"] == b["token_ids"]
+
+
 def test_mr_policy_window_only_and_discard_first():
     """Round-5 advisor fix: reprobe decisions use probe-window-only rates (a
     degraded locked arm cannot be re-confirmed from stale history), and
