@@ -900,7 +900,6 @@ class LLMEngine:
                 self._flush_pending()
             self._mr_reenter(seqs, N, K, C)
         gen0 = self.stats["generated_tokens"]
-        it0 = self.stats["jacobi_iterations"]
         t0 = time.perf_counter()
         if arm == ARM_SINGLE:
             # TRUE single-block: the sliding-window greedy chunk program —
@@ -926,12 +925,13 @@ class LLMEngine:
                 for i, s in enumerate(seqs):
                     iters0[i] = s.jacobi_iters
                 res = self._dispatch_chunk(seqs, N, eos_id, False, -1, False)
+                # sync commit credits mr_single via stat_key too (the async
+                # path's commits arrive a chunk later — never double-count
+                # with a dispatch-time delta here)
                 self._commit_chunk(
-                    _PendingChunk(res, list(seqs), expected, iters0, False)
+                    _PendingChunk(res, list(seqs), expected, iters0, False,
+                                  stat_key="mr_single")
                 )
-            self.stats["mr_single"] = self.stats.get("mr_single", 0) + (
-                self.stats["jacobi_iterations"] - it0
-            )
         else:
             # The three MR arms run the SAME MR chunk executable over the
             # SAME carried state — the knobs only gate which speculative

@@ -118,6 +118,16 @@ class MRAutoPolicy:
         self.prior: List[float] = [0.0] * n_arms  # last-window rates (tiebreak)
         self.calls = 0
         self.locked: Optional[int] = None  # arm index, None while probing
+        # samples per arm needed to close the CURRENT probe window: scheduled
+        # reprobes use the full probe_chunks; a DRIFT unlock re-ranks with 1
+        # fresh chunk per arm (priors break ties).  Round-5 finding: the
+        # drift detector fires on continuous-batching drain phases (per-slot
+        # yields collapse for every arm as requests finish mid-chunk), and a
+        # full-breadth reprobe each time burned ~40% of a B=8 serving run on
+        # the expensive MR arms (engine row: 503 MR probe iterations vs 434
+        # serving ones).  The phase change is real — rates did move — so
+        # reprobing is correct; only its breadth was wrong.
+        self._probe_target = probe_chunks
         self._since_lock = 0
         self._lock_rate = 0.0  # per-slot rate at lock time
         self._ema_rate: Optional[float] = None  # recent locked-arm rate
@@ -140,6 +150,7 @@ class MRAutoPolicy:
         self.tokens = [0] * self.n_arms
         self.n = [0] * self.n_arms
         self._ema_rate = None
+        self._probe_target = 1 if drift else self.probe_chunks
         if drift:
             # the workload changed under us: stability evidence is stale
             self._stable = 0
@@ -186,7 +197,7 @@ class MRAutoPolicy:
                     # workload drifted under the locked arm
                     self._unlock(drift=True)
             return
-        if min(self.n) >= self.probe_chunks:
+        if min(self.n) >= self._probe_target:
             self.locked = max(
                 range(self.n_arms), key=lambda a: (self._rate(a), self.prior[a])
             )

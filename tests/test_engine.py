@@ -560,6 +560,34 @@ def test_mr_policy_window_only_and_discard_first():
     assert pol2.snapshot()["locked"] == "single"
 
 
+def test_mr_policy_drift_reprobe_is_cheap():
+    """A drift unlock re-ranks with ONE fresh chunk per arm (priors break
+    ties); only scheduled reprobes use the full probe breadth — a drain-phase
+    drift must not burn probe_chunks x n_arms chunks of the expensive arms."""
+    from jacobiforcing_tpu.engine.mr_policy import MRAutoPolicy
+
+    pol = MRAutoPolicy(probe_chunks=4, reprobe_every=100)
+    rates = [100.0, 300.0, 200.0]
+    n = 0
+    while pol.locked is None:
+        arm = pol.pick()
+        pol.record(arm, int(rates[arm]), 1.0)
+        n += 1
+    assert n == 12 and pol.locked == 1  # initial probe: full breadth
+    for _ in range(20):  # collapse the locked arm -> drift unlock
+        if pol.locked is None:
+            break
+        pol.record(pol.pick(), 30, 1.0)
+    assert pol.locked is None
+    rates = [100.0, 30.0, 200.0]
+    n = 0
+    while pol.locked is None:
+        arm = pol.pick()
+        pol.record(arm, int(rates[arm]), 1.0)
+        n += 1
+    assert n == 3 and pol.locked == 2  # drift re-rank: one sample per arm
+
+
 def test_mr_auto_policy_drift_reprobe():
     """A locked arm whose per-slot rate collapses must trigger an immediate
     re-probe (not wait out reprobe_every): the on-chip grid showed a probe
