@@ -1362,6 +1362,15 @@ class LLMEngine:
             self.generate(prompts, sp_for(strategy, L))
             timings[tag] = round(time.perf_counter() - t0, 2)
 
+        strategies = list(strategies)
+        if "mr" in strategies and self.config.jacobi_mr_auto_policy:
+            # the MR auto-policy's single arm runs the plain jacobi chunk
+            # program and its re-entry uses the AR decode step — warm both,
+            # or the arm's first probe pays their compile walls mid-serving
+            # (the policy discards that sample, but the wall is still real)
+            for extra in ("jacobi", "ar"):
+                if self.config.jacobi_mr_single_arm and extra not in strategies:
+                    strategies.append(extra)
         for strategy in strategies:
             for L in Ls if strategy != "ar" else [0]:
                 ltag = f"_L{L}" if L else ""
