@@ -207,6 +207,14 @@ def test_engine_warmup_precompiles_and_leaves_state_clean():
     assert eng.block_manager.num_free_pages == free0  # dummy pages freed
     assert eng.scheduler.is_finished
 
+    # warming ONLY "mr" implicitly warms the single arm's executables
+    # (plain jacobi chunk + AR decode for the re-entry forward)
+    t2 = make_engine().warmup(
+        strategies=("mr",), block_lens=(8,),
+        batch_buckets=(1,), prefill_token_buckets=(32,),
+    )
+    assert {"mr_L8_B1", "jacobi_L8_B1", "ar_B1"} <= set(t2)
+
     prompts = make_prompts(256)
     sp = SamplingParams(temperature=0.0, max_tokens=16, decode_strategy="jacobi",
                         jacobi_block_len=8, jacobi_max_blocks=1)
