@@ -104,3 +104,44 @@ def test_oversized_budget_terminates():
     assert len(out["token_ids"]) == 256 - 40
     with pytest.raises(AssertionError):
         eng.add_request(rng.randint(1, 256, 300).tolist(), SamplingParams())
+
+
+def test_mr_auto_policy_under_page_pressure(monkeypatch):
+    """MR with the 4-arm auto-policy rotating every chunk under a tight page
+    pool: preemption clears BOTH mb_state and the single arm's sliding draft,
+    so the dispatch paths must re-bootstrap whichever arm the rotation lands
+    on after re-prefill — and still match the ample-pool run and greedy AR
+    token for token."""
+    from jacobiforcing_tpu.engine import mr_policy
+
+    counter = {"i": -1}
+
+    def cycling_pick(self):
+        counter["i"] += 1
+        arm = counter["i"] % self.n_arms
+        # locked single exercises the async-pipeline path under preemption
+        self.locked = arm if arm == 3 else None
+        return arm
+
+    monkeypatch.setattr(mr_policy.MRAutoPolicy, "pick", cycling_pick)
+    rng = np.random.RandomState(5)
+    base = rng.randint(1, 256, 48).tolist()
+    prompts = [base + rng.randint(1, 256, 4).tolist() for _ in range(6)]
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=12,
+        decode_strategy="jacobi_multiblock_rejection_recycling",
+        jacobi_block_len=8, jacobi_max_blocks=2, jacobi_max_iterations=512,
+    )
+    # chunk_iters=2: every chunk is two device trips, so the rotation
+    # switches arms several times per request
+    ample = make_engine(num_pages=512, jacobi_chunk_iters=2).generate(prompts, sp)
+    tight_eng = make_engine(num_pages=28, jacobi_chunk_iters=2)
+    tight = tight_eng.generate(prompts, sp)
+    for a, t in zip(ample, tight):
+        assert a["token_ids"] == t["token_ids"]
+    assert counter["i"] >= 7  # the rotation really covered all arms
+    ar = make_engine(num_pages=512).generate(
+        prompts, SamplingParams(temperature=0.0, max_tokens=12)
+    )
+    for a, b in zip(ar, ample):
+        assert a["token_ids"] == b["token_ids"]
