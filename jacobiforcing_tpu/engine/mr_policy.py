@@ -198,9 +198,20 @@ class MRAutoPolicy:
                     self._unlock(drift=True)
             return
         if min(self.n) >= self._probe_target:
-            self.locked = max(
+            best = max(
                 range(self.n_arms), key=lambda a: (self._rate(a), self.prior[a])
             )
+            # switch hysteresis: dethroning the incumbent requires beating it
+            # by a margin — with near-tie arms (e.g. the ra_only/single pair
+            # on some checkpoints) small probe windows re-rank on noise and
+            # the lock would random-walk across arms every reprobe
+            inc = self._last_winner
+            if (
+                inc is not None and best != inc and self.n[inc] > 0
+                and self._rate(best) < 1.1 * self._rate(inc)
+            ):
+                best = inc
+            self.locked = best
             self._since_lock = 0
             self._lock_rate = self._rate(self.locked)
             self._ema_rate = None

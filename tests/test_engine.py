@@ -596,6 +596,36 @@ def test_mr_policy_drift_reprobe_is_cheap():
     assert n == 3 and pol.locked == 2  # drift re-rank: one sample per arm
 
 
+def test_mr_policy_switch_hysteresis():
+    """Dethroning the incumbent winner requires beating it by >10%: near-tie
+    arms must not make the lock random-walk across reprobes."""
+    from jacobiforcing_tpu.engine.mr_policy import MRAutoPolicy
+
+    pol = MRAutoPolicy(probe_chunks=1, reprobe_every=10)
+    for r in (300.0, 100.0, 100.0):
+        pol.record(pol.pick(), int(r), 1.0)
+    assert pol.locked == 0
+    for _ in range(10):
+        pol.record(0, 300, 1.0)
+    pol.pick()  # opens the scheduled reprobe
+    # rival within 10% of the incumbent: stays locked on 0
+    rates = {0: 300.0, 1: 315.0, 2: 100.0}
+    while pol.locked is None:
+        arm = pol.pick()
+        pol.record(arm, int(rates[arm]), 1.0)
+    assert pol.locked == 0  # 315 < 1.1 * 300
+    for _ in range(pol._interval):
+        if pol.locked is None:
+            break
+        pol.record(pol.pick(), 300, 1.0)
+    pol.pick()
+    rates = {0: 300.0, 1: 400.0, 2: 100.0}
+    while pol.locked is None:
+        arm = pol.pick()
+        pol.record(arm, int(rates[arm]), 1.0)
+    assert pol.locked == 1  # 400 > 1.1 * 300: real winner switches
+
+
 def test_mr_auto_policy_drift_reprobe():
     """A locked arm whose per-slot rate collapses must trigger an immediate
     re-probe (not wait out reprobe_every): the on-chip grid showed a probe
