@@ -950,10 +950,19 @@ class LLMEngine:
         # time is real on tunneled backends (block_until_ready is not)
         dt = time.perf_counter() - t0
         toks = self.stats["generated_tokens"] - gen0
+        # drain edge: some row hit its finish condition during (or, under
+        # async, just before) this chunk — its collapsed per-slot yield is
+        # batch structure, not workload drift (mr_policy.record docstring)
+        drained = any(
+            s.num_completion_tokens >= s.max_tokens
+            or (eos_id >= 0 and len(s) > 0 and s.last_token == eos_id)
+            for s in seqs
+        )
         if os.environ.get("JF_MR_POLICY_LOG", "0") == "1":
             print(f"[mr_policy] arm={arm} B={len(seqs)} toks={toks} "
-                  f"wall={dt*1e3:.1f}ms locked={pol.locked}", flush=True)
-        pol.record(arm, toks, dt, slots=len(seqs))
+                  f"wall={dt*1e3:.1f}ms locked={pol.locked} "
+                  f"drained={drained}", flush=True)
+        pol.record(arm, toks, dt, slots=len(seqs), drained=drained)
 
     def _mr_to_single(self, seqs: List[Sequence], N: int) -> None:
         """Hand MR state off to the single-block program.  Exact at ANY chunk

@@ -169,9 +169,17 @@ class MRAutoPolicy:
         return min(range(self.n_arms), key=lambda a: (self.n[a], a))
 
     def record(self, arm: int, tokens: int, wall_s: float,
-               slots: int = 1) -> None:
+               slots: int = 1, drained: bool = False) -> None:
         """Account one chunk call: `tokens` committed over `wall_s` seconds
-        by a batch of `slots` sequences (rates are per slot-second)."""
+        by a batch of `slots` sequences (rates are per slot-second).
+
+        `drained=True` marks a chunk during which some row hit its finish
+        condition: its per-slot yield collapses for STRUCTURAL reasons (the
+        batch is draining), so it must not feed the drift detector — the
+        round-5 engine row showed drain edges opening a probe window at the
+        tail of every batch, burning 25-50% of short-generation serving on
+        probes.  Probe windows still ingest drained chunks (the round-robin
+        interleave shows every arm the same workload mix)."""
         self.calls += 1
         first = self.seen[arm] == 0
         self.seen[arm] += 1
@@ -179,13 +187,10 @@ class MRAutoPolicy:
             # likely contains this arm's one-time XLA compile wall
             return
         slots = max(int(slots), 1)
-        self.tokens[arm] += int(tokens)
-        self.slot_wall[arm] += float(wall_s) * slots
-        self.n[arm] += 1
         rate = tokens / max(wall_s * slots, 1e-9)
         if self.locked is not None:
             self._since_lock += 1
-            if arm == self.locked:
+            if arm == self.locked and not drained:
                 self._ema_rate = (
                     rate if self._ema_rate is None
                     else 0.7 * self._ema_rate + 0.3 * rate
@@ -197,6 +202,9 @@ class MRAutoPolicy:
                     # workload drifted under the locked arm
                     self._unlock(drift=True)
             return
+        self.tokens[arm] += int(tokens)
+        self.slot_wall[arm] += float(wall_s) * slots
+        self.n[arm] += 1
         if min(self.n) >= self._probe_target:
             best = max(
                 range(self.n_arms), key=lambda a: (self._rate(a), self.prior[a])

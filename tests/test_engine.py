@@ -596,6 +596,26 @@ def test_mr_policy_drift_reprobe_is_cheap():
     assert n == 3 and pol.locked == 2  # drift re-rank: one sample per arm
 
 
+def test_mr_policy_drain_edges_do_not_trigger_drift():
+    """Chunks where some row hit its finish condition (batch drain) must not
+    feed the drift detector — their collapsed per-slot yield is structural,
+    not workload drift."""
+    from jacobiforcing_tpu.engine.mr_policy import MRAutoPolicy
+
+    pol = MRAutoPolicy(probe_chunks=1, reprobe_every=1000)
+    for r in (300.0, 100.0, 100.0):
+        pol.record(pol.pick(), int(r), 1.0)
+    assert pol.locked == 0
+    for _ in range(10):  # drain edges: collapsed yield, stays locked
+        pol.record(0, 10, 1.0, drained=True)
+    assert pol.locked == 0
+    for _ in range(10):  # genuine collapse: unlocks
+        if pol.locked is None:
+            break
+        pol.record(0, 10, 1.0)
+    assert pol.locked is None
+
+
 def test_mr_policy_switch_hysteresis():
     """Dethroning the incumbent winner requires beating it by >10%: near-tie
     arms must not make the lock random-walk across reprobes."""
